@@ -1,0 +1,115 @@
+"""Benchmark: single-trait BayesC marker-effect updates/sec on one chip.
+
+Headline metric matching BASELINE.md: marker-effect updates per second for
+the blocked (fast_blocks) BayesC sampler. The reference's single-core
+non-block rate is ~15.6k updates/s (docs/src/manual/benchmark.md:81-90);
+vs_baseline reports our multiple of that rate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_UPDATES_PER_SEC = 15_600.0  # JWAS single-core non-block implied rate
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jwas_tpu.engine.mcmc import STEngineCfg, make_run_window, _init_accum, STData
+    from jwas_tpu.engine.state import ChainState
+    from jwas_tpu.ops import markers as mk
+
+    # Size to fit one chip's HBM: n=20k x p=100k f32 X = 8 GB (+ ~100 MB Grams).
+    n = int(os.environ.get("BENCH_N", 20_000))
+    p = int(os.environ.get("BENCH_P", 100_000))
+    block = int(os.environ.get("BENCH_BLOCK", 256))
+    nreps = int(os.environ.get("BENCH_NREPS", block))
+    n_outer = int(os.environ.get("BENCH_OUTER", 4))
+    dtype = jnp.float32
+
+    key = jax.random.PRNGKey(0)
+    kf, kx, ke, kb = jax.random.split(key, 4)
+    freqs = jax.random.uniform(kf, (p,), minval=0.1, maxval=0.9)
+    X = (
+        (jax.random.uniform(kx, (n, p)) < freqs).astype(dtype)
+        + (jax.random.uniform(kb, (n, p)) < freqs).astype(dtype)
+    )
+    X = X - jnp.mean(X, axis=0)
+    beta_true = jax.random.normal(ke, (p,)) * jnp.where(
+        jax.random.uniform(ke, (p,)) < 0.01, 1.0, 0.0
+    )
+    y = X @ beta_true + jax.random.normal(ke, (n,)) * 1.0
+    y = y - jnp.mean(y)
+
+    md = mk.build_marker_blocks(X, block_size=block)
+    p_pad = md.X.shape[1]
+    K = 1
+    W = jnp.ones((n, K), dtype)
+
+    cfg = STEngineCfg(
+        method="BayesC", n_obs=n, n_markers=p, n_loc=K,
+        estimate_pi=True, estimate_marker_variance=True, estimate_scale=False,
+        estimate_residual_variance=True, use_blocks=True, nreps=nreps,
+        re_groups=(), df_residual=4.0, df_marker=4.0, has_weights=False,
+        scale_R=float(jnp.var(y) * 0.5),
+    )
+    data = STData(
+        W=W, WtRinvW=(W.T @ W), rinv=jnp.ones((n,), dtype), y=y,
+        X=md.X, xpx=md.xpx, grams=md.grams, valid=md.valid,
+        Vinv=(), vc_scale=(),
+        out_geno=jnp.zeros((0, p), dtype), out_W=jnp.zeros((0, K), dtype),
+    )
+    pi0 = jnp.where(md.valid > 0, 0.95, 1.0).astype(dtype)
+    state = ChainState(
+        key=jax.random.PRNGKey(42), sol=jnp.zeros((K,), dtype),
+        alpha=jnp.zeros((p_pad,), dtype), beta=jnp.zeros((p_pad,), dtype),
+        delta=jnp.where(md.valid > 0, 1, 0).astype(jnp.int32),
+        gamma_l=jnp.ones((p_pad,), dtype),
+        ycorr=y - W @ jnp.zeros((K,), dtype),
+        vare=jnp.asarray(float(jnp.var(y)) * 0.5, dtype),
+        varg=jnp.asarray(0.01, dtype),
+        pi=pi0,
+        scale_g=jnp.asarray(0.005, dtype),
+        vc=(),
+    )
+
+    run_window = make_run_window(cfg)
+    accum = _init_accum(cfg, data, state)
+
+    # warm-up / compile
+    state, accum, _ = run_window(state, data, accum, 1, accumulate=False)
+    jax.block_until_ready(state.ycorr)
+
+    t0 = time.perf_counter()
+    state, accum, out = run_window(state, data, accum, n_outer, accumulate=True)
+    jax.block_until_ready(state.ycorr)
+    dt = time.perf_counter() - t0
+
+    effective_updates = p * nreps * n_outer
+    rate = effective_updates / dt
+    print(
+        json.dumps(
+            {
+                "metric": "marker_updates_per_sec",
+                "value": round(rate, 1),
+                "unit": "updates/s",
+                "vs_baseline": round(rate / BASELINE_UPDATES_PER_SEC, 2),
+            }
+        )
+    )
+    print(
+        f"# n={n} p={p} block={block} nreps={nreps} outer={n_outer} "
+        f"wall={dt:.2f}s sweeps/s={nreps*n_outer/dt:.2f} device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""jwas_tpu — a TPU-native Bayesian whole-genome regression engine in JAX.
+
+A from-scratch reimplementation of the capabilities of JWAS.jl (reference:
+reworkhow/JWAS.jl) designed for TPU hardware: the per-marker Gibbs sweep of the
+Bayesian Alphabet runs as a blocked, vectorized XLA/Pallas computation; the
+n x p genotype matrix is sharded column-wise over a device mesh; chains run in
+parallel across replicas.
+
+Public API (mirrors the reference export list, `src/1.JWAS/src/JWAS.jl:61-70`):
+
+- :func:`get_pedigree`, :func:`get_info`  — pedigree engine (A-inverse).
+- :func:`get_genotypes`                   — genotype loading + QC.
+- :func:`build_model`, :func:`set_covariate`, :func:`set_random`,
+  :func:`describe`                        — model builder.
+- :func:`runMCMC`                         — MCMC driver.
+- :func:`solve`                           — non-MCMC MME solvers.
+- :func:`GWAS`                            — window-based GWAS post-processing.
+- :func:`dataset`                         — packaged example data.
+"""
+
+from jwas_tpu.io.pedigree import Pedigree, get_pedigree, get_info
+from jwas_tpu.io.genotypes import Genotypes, get_genotypes
+from jwas_tpu.models.model import (
+    Model,
+    build_model,
+    set_covariate,
+    set_random,
+    describe,
+    outputEBV,
+    outputMCMCsamples,
+)
+from jwas_tpu.engine.mcmc import runMCMC
+from jwas_tpu.engine.solve import solve
+from jwas_tpu.analysis.gwas import GWAS
+from jwas_tpu.io.datasets import dataset
+
+__all__ = [
+    "Pedigree",
+    "get_pedigree",
+    "get_info",
+    "Genotypes",
+    "get_genotypes",
+    "Model",
+    "build_model",
+    "set_covariate",
+    "set_random",
+    "describe",
+    "outputEBV",
+    "outputMCMCsamples",
+    "runMCMC",
+    "solve",
+    "GWAS",
+    "dataset",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,608 @@
+"""The MCMC driver: jitted Gibbs step + chain loop + posterior outputs.
+
+TPU-native re-design of the reference training loop (reference:
+src/1.JWAS/src/MCMC/MCMC_BayesianAlphabet.jl). One compiled `step` advances
+the whole chain state one (outer) iteration:
+
+  1. location parameters    — single-site Gibbs over the dense MME
+  2. marker effects         — blocked/vectorized Bayesian-alphabet sweep
+  2b. pi                    — Beta/Dirichlet draw
+  2c. marker-effect variance
+  3. random-effect covariances (inverse-Wishart) and residual variance
+
+A `lax.scan` over the thinning window keeps the whole sampling loop on
+device; only thinned summaries cross back to the host. Posterior means and
+variances are accumulated on device with the same running-mean updates as the
+reference (output.jl:556-604).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from jwas_tpu.engine.setup import MCMCOptions, Workspace, prepare_workspace
+from jwas_tpu.engine.state import ChainState, EngineCfg, REGroupCfg
+from jwas_tpu.models.model import Model
+from jwas_tpu.ops import markers as mk
+from jwas_tpu.ops.dists import sample_inv_wishart
+from jwas_tpu.ops.location import gibbs_pass_lambda
+from jwas_tpu.ops.variance import (
+    sample_bayesl_gamma,
+    sample_marker_variance_bayesb,
+    sample_marker_variance_bayesr,
+    sample_marker_variance_common,
+    sample_pi_abc,
+    sample_pi_bayesr,
+    sample_residual_variance_st,
+    sample_scale_st,
+)
+
+
+class STData(NamedTuple):
+    """Static device data for a single-trait chain."""
+
+    W: jnp.ndarray            # (n, K)
+    WtRinvW: jnp.ndarray      # (K, K) base LHS
+    rinv: jnp.ndarray         # (n,) inverse weights (ones if unweighted)
+    y: jnp.ndarray            # (n,)
+    X: jnp.ndarray            # (n, p_pad) markers (or L for GBLUP)
+    xpx: jnp.ndarray          # (p_pad,) (or D for GBLUP)
+    grams: jnp.ndarray        # (nblocks, b, b) or (0,)
+    valid: jnp.ndarray        # (p_pad,)
+    Vinv: Tuple[jnp.ndarray, ...]      # per RE group (q,q); (0,0) for identity
+    vc_scale: Tuple[jnp.ndarray, ...]  # per RE group (k,k)
+    out_geno: jnp.ndarray     # (n_out, p) or (0, 0)
+    out_W: jnp.ndarray        # (n_out, K) prediction-equation incidence (or zeros)
+
+
+def _assemble_lhs(cfg: EngineCfg, data: STData, vc, vare):
+    """LHS = W'RinvW + sum_groups Vinv x (Gi[i,j] * vare) (addVinv,
+    random_effects.jl:218-238, lambda version rebuilt from scratch)."""
+    LHS = data.WtRinvW
+    for g, grp in enumerate(cfg.re_groups):
+        Gi = jnp.linalg.inv(vc[g])
+        q = grp.n_levels
+        for i, si in enumerate(grp.starts):
+            for j, sj in enumerate(grp.starts):
+                lam = Gi[i, j] * vare
+                if grp.has_vinv:
+                    LHS = jax.lax.dynamic_update_slice(
+                        LHS,
+                        jax.lax.dynamic_slice(LHS, (si, sj), (q, q)) + data.Vinv[g] * lam,
+                        (si, sj),
+                    )
+                else:
+                    idx = si + jnp.arange(q)
+                    jdx = sj + jnp.arange(q)
+                    LHS = LHS.at[idx, jdx].add(lam)
+    return LHS
+
+
+def make_st_step(cfg: EngineCfg):
+    """Build the jitted one-iteration Gibbs step for a single-trait chain."""
+
+    def step(state: ChainState, data: STData) -> ChainState:
+        key, k_loc, k_mark, k_pi, k_var, k_gam, k_scale, k_res, *k_vc = jax.random.split(
+            state.key, 8 + len(cfg.re_groups)
+        )
+        dtype = state.ycorr.dtype
+        rinv = data.rinv if cfg.has_weights else None
+
+        # 1. location parameters (MCMC_BayesianAlphabet.jl:196-220)
+        LHS = _assemble_lhs(cfg, data, state.vc, state.vare)
+        ycorr = state.ycorr + data.W @ state.sol
+        w = ycorr if rinv is None else rinv * ycorr
+        rhs = data.W.T @ w
+        sol = gibbs_pass_lambda(LHS, state.sol, rhs, state.vare, k_loc)
+        ycorr = ycorr - data.W @ sol
+
+        # 2. marker effects (method dispatch, MCMC_BayesianAlphabet.jl:224-338)
+        alpha, beta, delta, gamma_l, pi, varg = (
+            state.alpha, state.beta, state.delta, state.gamma_l, state.pi, state.varg,
+        )
+        if cfg.method in ("BayesC", "BayesB"):
+            var_eff = varg if cfg.method == "BayesB" else varg
+            if cfg.use_blocks:
+                alpha, beta, delta, ycorr = mk.sweep_blocks_abc(
+                    mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
+                    alpha, beta, delta, ycorr, rinv, state.vare, var_eff, pi,
+                    k_mark, nreps=cfg.nreps,
+                )
+            else:
+                alpha, beta, delta, ycorr = mk.sweep_exact_abc(
+                    data.X, data.xpx, alpha, beta, delta, ycorr, rinv,
+                    state.vare, var_eff, pi, k_mark,
+                )
+        elif cfg.method in ("RR-BLUP", "BayesL"):
+            if cfg.use_blocks:
+                alpha, ycorr = mk.sweep_blocks_c0l(
+                    mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
+                    alpha, ycorr, rinv, state.vare, varg, gamma_l, k_mark,
+                    nreps=cfg.nreps,
+                )
+            else:
+                alpha, ycorr = mk.sweep_exact_c0l(
+                    data.X, data.xpx, alpha, ycorr, rinv, state.vare, varg,
+                    gamma_l, k_mark,
+                )
+        elif cfg.method == "BayesR":
+            pi_mat = jnp.where(
+                data.valid[:, None] > 0,
+                jnp.broadcast_to(pi[None, :], (data.valid.shape[0], 4)),
+                jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dtype)[None, :],
+            )
+            if cfg.use_blocks:
+                alpha, delta, ycorr = mk.sweep_blocks_bayesr(
+                    mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
+                    alpha, delta, ycorr, rinv, state.vare, varg, pi_mat, k_mark,
+                    nreps=cfg.nreps,
+                )
+            else:
+                alpha, delta, ycorr = mk.sweep_exact_bayesr(
+                    data.X, data.xpx, alpha, delta, ycorr, rinv, state.vare,
+                    varg, pi_mat, k_mark,
+                )
+        elif cfg.method == "GBLUP":
+            alpha, ycorr = mk.sweep_gblup(
+                data.X, data.xpx, alpha, ycorr, rinv, state.vare, varg, k_mark
+            )
+        elif cfg.method != "none":
+            raise ValueError(f"unknown method {cfg.method}")
+
+        # 2b. pi (Pi.jl)
+        if cfg.estimate_pi:
+            if cfg.method == "BayesR":
+                pi = sample_pi_bayesr(k_pi, delta, data.valid).astype(dtype)
+            else:
+                pi_scalar = sample_pi_abc(k_pi, delta, cfg.n_markers, data.valid)
+                pi = jnp.where(data.valid > 0, pi_scalar.astype(dtype), 1.0)
+
+        # 2c. marker-effect variance (variance_components.jl:151-189)
+        if cfg.estimate_marker_variance and cfg.method != "none":
+            if cfg.method == "BayesC":
+                nloci = jnp.sum(jnp.where(data.valid > 0, delta, 0))
+                varg = sample_marker_variance_common(
+                    k_var, alpha, nloci, cfg.df_marker, state.scale_g
+                )
+            elif cfg.method == "RR-BLUP":
+                varg = sample_marker_variance_common(
+                    k_var, alpha, cfg.n_markers, cfg.df_marker, state.scale_g
+                )
+            elif cfg.method == "BayesL":
+                varg = sample_marker_variance_common(
+                    k_var, alpha, cfg.n_markers, cfg.df_marker, state.scale_g,
+                    invweights=1.0 / gamma_l,
+                )
+                gamma_l = sample_bayesl_gamma(k_gam, gamma_l, alpha, varg, data.valid)
+            elif cfg.method == "GBLUP":
+                varg = sample_marker_variance_common(
+                    k_var, alpha, cfg.n_markers, cfg.df_marker, state.scale_g,
+                    invweights=1.0 / data.xpx,
+                )
+            elif cfg.method == "BayesB":
+                varg = sample_marker_variance_bayesb(k_var, beta, cfg.df_marker, state.scale_g)
+            elif cfg.method == "BayesR":
+                varg = sample_marker_variance_bayesr(
+                    k_var, alpha, delta, cfg.df_marker, state.scale_g
+                )
+            varg = varg.astype(dtype)
+
+        # 2d. prior scale for the marker-effect variance
+        scale_g = state.scale_g
+        if cfg.estimate_scale and cfg.method != "none":
+            if cfg.method == "BayesB":
+                v = jnp.where(data.valid > 0, varg, 1.0)
+                a = cfg.n_markers * cfg.df_marker / 2.0 + 1.0
+                b = jnp.sum(jnp.where(data.valid > 0, cfg.df_marker / (2.0 * v), 0.0)) + 1.0
+                scale_g = (jax.random.gamma(k_scale, a) / b).astype(dtype)
+            else:
+                scale_g = sample_scale_st(k_scale, varg, cfg.df_marker).astype(dtype)
+
+        # 3.1 random-effect covariance components (sampleVCs)
+        vc = list(state.vc)
+        for g, grp in enumerate(cfg.re_groups):
+            q = grp.n_levels
+            sols = jnp.stack([jax.lax.dynamic_slice(sol, (s,), (q,)) for s in grp.starts])
+            if grp.has_vinv:
+                S = sols @ (data.Vinv[g] @ sols.T)
+            else:
+                S = sols @ sols.T
+            S = 0.5 * (S + S.T)
+            vc[g] = sample_inv_wishart(
+                k_vc[g], grp.df + q, data.vc_scale[g] + S
+            ).astype(dtype)
+        vc = tuple(vc)
+
+        # 3.2 residual variance
+        vare = state.vare
+        if cfg.estimate_residual_variance:
+            vare = sample_residual_variance_st(
+                k_res, ycorr, cfg.n_obs, cfg.df_residual, jnp.asarray(cfg_scale_R(cfg), dtype),
+                invweights=rinv,
+            ).astype(dtype)
+
+        return ChainState(
+            key=key, sol=sol, alpha=alpha, beta=beta, delta=delta,
+            gamma_l=gamma_l, ycorr=ycorr, vare=vare, varg=varg, pi=pi,
+            scale_g=scale_g, vc=vc,
+        )
+
+    return step
+
+
+# The residual-variance prior scale is a static float carried on the config.
+@dataclass(frozen=True)
+class STEngineCfg(EngineCfg):
+    scale_R: float = 0.0
+
+
+def cfg_scale_R(cfg):
+    return cfg.scale_R
+
+
+class SampleOut(NamedTuple):
+    """Per saved sample, small device->host summaries."""
+
+    vare: jnp.ndarray
+    varg_mean: jnp.ndarray     # scalar summary (mean over markers for BayesB)
+    pi_summary: jnp.ndarray    # (4,) for BayesR else scalar in [0]
+    ebv: jnp.ndarray           # (n_out,)
+    genvar: jnp.ndarray
+    h2: jnp.ndarray
+
+
+class Accum(NamedTuple):
+    n: jnp.ndarray
+    sol_m: jnp.ndarray
+    sol_m2: jnp.ndarray
+    alpha_m: jnp.ndarray
+    alpha_m2: jnp.ndarray
+    delta_m: jnp.ndarray
+    vare_m: jnp.ndarray
+    vare_m2: jnp.ndarray
+    varg_m: jnp.ndarray
+    varg_m2: jnp.ndarray
+    pi_m: jnp.ndarray
+    pi_m2: jnp.ndarray
+    scale_m: jnp.ndarray
+    scale_m2: jnp.ndarray
+    ebv_m: jnp.ndarray
+    ebv_m2: jnp.ndarray
+    vc_m: Tuple[jnp.ndarray, ...]
+    vc_m2: Tuple[jnp.ndarray, ...]
+
+
+def _welford(m, x, n):
+    return m + (x - m) / n
+
+
+def make_run_window(cfg):
+    step = make_st_step(cfg)
+
+    @partial(jax.jit, static_argnames=("n_iters", "accumulate"))
+    def run_window(state: ChainState, data: STData, accum: Accum,
+                   n_iters: int, accumulate: bool = True):
+        def body(s, _):
+            return step(s, data), None
+
+        state, _ = jax.lax.scan(body, state, None, length=n_iters)
+
+        # EBV for output individuals: prediction terms + markers
+        # (getEBV, output.jl:281-306)
+        ebv = data.out_W @ state.sol
+        if cfg.method == "GBLUP" or cfg.method != "none":
+            if data.out_geno.shape[0] > 0:
+                ebv = ebv + data.out_geno @ state.alpha[: data.out_geno.shape[1]]
+        genvar = jnp.var(ebv) if ebv.shape[0] > 1 else jnp.zeros((), ebv.dtype)
+        h2 = genvar / (genvar + state.vare)
+
+        if cfg.method == "BayesB":
+            varg_mean = jnp.sum(jnp.where(data.valid > 0, state.varg, 0.0)) / cfg.n_markers
+        else:
+            varg_mean = jnp.asarray(state.varg)
+        if cfg.method == "BayesR":
+            pi_summary = state.pi
+        elif state.pi.shape[0] > 0:
+            pi_summary = jnp.zeros((4,), state.ycorr.dtype).at[0].set(state.pi[0])
+        else:
+            pi_summary = jnp.zeros((4,), state.ycorr.dtype)
+
+        out = SampleOut(
+            vare=state.vare, varg_mean=varg_mean, pi_summary=pi_summary,
+            ebv=ebv, genvar=genvar, h2=h2,
+        )
+
+        if accumulate:
+            n = accum.n + 1.0
+            accum = Accum(
+                n=n,
+                sol_m=_welford(accum.sol_m, state.sol, n),
+                sol_m2=_welford(accum.sol_m2, state.sol**2, n),
+                alpha_m=_welford(accum.alpha_m, state.alpha, n),
+                alpha_m2=_welford(accum.alpha_m2, state.alpha**2, n),
+                delta_m=_welford(
+                    accum.delta_m,
+                    (state.delta > 0).astype(state.alpha.dtype)
+                    if cfg.method == "BayesR"
+                    else state.delta.astype(state.alpha.dtype),
+                    n,
+                ),
+                vare_m=_welford(accum.vare_m, state.vare, n),
+                vare_m2=_welford(accum.vare_m2, state.vare**2, n),
+                varg_m=_welford(accum.varg_m, varg_mean, n),
+                varg_m2=_welford(accum.varg_m2, varg_mean**2, n),
+                pi_m=_welford(accum.pi_m, pi_summary, n),
+                pi_m2=_welford(accum.pi_m2, pi_summary**2, n),
+                scale_m=_welford(accum.scale_m, state.scale_g, n),
+                scale_m2=_welford(accum.scale_m2, state.scale_g**2, n),
+                ebv_m=_welford(accum.ebv_m, ebv, n),
+                ebv_m2=_welford(accum.ebv_m2, ebv**2, n),
+                vc_m=tuple(_welford(m, v, n) for m, v in zip(accum.vc_m, state.vc)),
+                vc_m2=tuple(_welford(m, v**2, n) for m, v in zip(accum.vc_m2, state.vc)),
+            )
+        return state, accum, out
+
+    return run_window
+
+
+def _init_accum(cfg, data: STData, state: ChainState) -> Accum:
+    z = jnp.zeros
+    dt = state.ycorr.dtype
+    return Accum(
+        n=jnp.zeros((), dt),
+        sol_m=z(state.sol.shape, dt), sol_m2=z(state.sol.shape, dt),
+        alpha_m=z(state.alpha.shape, dt), alpha_m2=z(state.alpha.shape, dt),
+        delta_m=z(state.alpha.shape, dt),
+        vare_m=z((), dt), vare_m2=z((), dt),
+        varg_m=z((), dt), varg_m2=z((), dt),
+        pi_m=z((4,), dt), pi_m2=z((4,), dt),
+        scale_m=z((), dt), scale_m2=z((), dt),
+        ebv_m=z((data.out_W.shape[0],), dt), ebv_m2=z((data.out_W.shape[0],), dt),
+        vc_m=tuple(z(v.shape, dt) for v in state.vc),
+        vc_m2=tuple(z(v.shape, dt) for v in state.vc),
+    )
+
+
+def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
+    model = ws.model
+    n = ws.n_obs
+    W = jnp.asarray(ws.W, dtype)
+    rinv_np = ws.rinv if ws.rinv is not None else np.ones(n)
+    rinv = jnp.asarray(rinv_np, dtype)
+    WtRinvW = (W * rinv[:, None]).T @ W
+    y = jnp.asarray(ws.y, dtype)
+
+    method = ws.geno.method if ws.geno is not None else "none"
+    use_blocks = bool(opts.fast_blocks) and method not in ("GBLUP", "none")
+
+    if method == "GBLUP":
+        X = jnp.asarray(ws.gblup_L, dtype)
+        xpx = jnp.asarray(ws.gblup_D, dtype)
+        grams = jnp.zeros((0, 0, 0), dtype)
+        valid = jnp.ones((X.shape[1],), dtype)
+        p = X.shape[1]
+        p_pad = p
+        nreps = 1
+    elif method != "none":
+        Xnp = ws.geno.genotypes
+        p = ws.geno.n_markers
+        if use_blocks:
+            if opts.fast_blocks is True:
+                bs = mk.default_block_size(n)
+            else:
+                bs = int(opts.fast_blocks)
+                bs = max(8, ((bs + 7) // 8) * 8)
+            md = mk.build_marker_blocks(jnp.asarray(Xnp, dtype), rinv if ws.rinv is not None else None, block_size=bs)
+            X, xpx, grams, valid = md
+            p_pad = X.shape[1]
+            nreps = opts.nreps if opts.nreps is not None else bs
+        else:
+            X = jnp.asarray(Xnp, dtype)
+            xw = X if ws.rinv is None else X * rinv[:, None]
+            xpx = jnp.einsum("np,np->p", xw, X)
+            grams = jnp.zeros((0, 0, 0), dtype)
+            valid = jnp.ones((p,), dtype)
+            p_pad = p
+            nreps = 1
+    else:
+        X = jnp.zeros((n, 0), dtype)
+        xpx = jnp.zeros((0,), dtype)
+        grams = jnp.zeros((0, 0, 0), dtype)
+        valid = jnp.zeros((0,), dtype)
+        p = p_pad = 0
+        nreps = 1
+
+    re_cfgs = []
+    Vinvs = []
+    vc_scales = []
+    vc0 = []
+    for grp in ws.re_groups:
+        re_cfgs.append(
+            REGroupCfg(
+                starts=grp.starts,
+                n_levels=grp.n_levels,
+                df=grp.df,
+                has_vinv=grp.Vinv is not None,
+                random_type=grp.random_type,
+            )
+        )
+        Vinvs.append(
+            jnp.asarray(grp.Vinv, dtype) if grp.Vinv is not None else jnp.zeros((0, 0), dtype)
+        )
+        vc_scales.append(jnp.asarray(grp.scale, dtype))
+        vc0.append(jnp.asarray(grp.G0, dtype))
+
+    # output structures
+    n_out = len(ws.output_ids)
+    K = W.shape[1]
+    out_W = np.zeros((n_out, K))
+    for term_name in ws.prediction_terms:
+        term = model.term_dict[term_name]
+        out_W[:, term.start_pos : term.start_pos + term.n_levels] += ws.output_X[term_name]
+    out_geno = (
+        jnp.asarray(ws.output_genotypes, dtype)
+        if ws.output_genotypes is not None
+        else jnp.zeros((0, max(p, 1)), dtype)
+    )
+
+    data = STData(
+        W=W, WtRinvW=WtRinvW, rinv=rinv, y=y, X=X, xpx=xpx, grams=grams,
+        valid=valid, Vinv=tuple(Vinvs), vc_scale=tuple(vc_scales),
+        out_geno=out_geno, out_W=jnp.asarray(out_W, dtype),
+    )
+
+    g = ws.geno
+    estimate_pi = bool(g.estimate_pi) if g is not None else False
+    cfg = STEngineCfg(
+        method=method,
+        n_obs=n,
+        n_markers=p,
+        n_loc=K,
+        estimate_pi=estimate_pi,
+        estimate_marker_variance=bool(g.G.estimate_variance) if g is not None else False,
+        estimate_scale=bool(g.G.estimate_scale) if g is not None else False,
+        estimate_residual_variance=bool(model.R.estimate_variance),
+        use_blocks=use_blocks,
+        nreps=nreps,
+        re_groups=tuple(re_cfgs),
+        df_residual=float(ws.df_R),
+        df_marker=float(ws.df_marker),
+        has_weights=ws.rinv is not None,
+        scale_R=float(ws.scale_R),
+    )
+
+    # --- initial state ---
+    seed = opts.seed if opts.seed is not None else 0
+    key = jax.random.PRNGKey(seed)
+    sol = jnp.zeros((K,), dtype)
+    alpha = jnp.zeros((p_pad,), dtype)
+    if g is not None and g.starting_alpha is not None and method != "GBLUP":
+        alpha = alpha.at[:p].set(jnp.asarray(g.starting_alpha, dtype))
+    beta = alpha
+    delta = (
+        jnp.zeros((p_pad,), jnp.int32)
+        if method == "BayesR"
+        else jnp.where(valid > 0, 1, 0).astype(jnp.int32)
+    )
+    if method == "BayesL":
+        key, kg = jax.random.split(key)
+        gamma_l = jnp.where(
+            valid > 0, jax.random.gamma(kg, 1.0, (p_pad,)).astype(dtype) * 8.0, 1.0
+        )
+        marker_var0 = float(ws.marker_var0) / 8.0
+        marker_scale0 = float(ws.marker_scale0) / 8.0
+    else:
+        gamma_l = jnp.ones((p_pad,), dtype)
+        marker_var0 = None if ws.marker_var0 is None else ws.marker_var0
+        marker_scale0 = None if ws.marker_scale0 is None else ws.marker_scale0
+
+    ycorr = y - W @ sol
+    if method == "GBLUP":
+        ycorr = ycorr - X @ alpha
+    elif p > 0:
+        ycorr = ycorr - X @ alpha
+
+    if method == "BayesB":
+        varg = jnp.where(valid > 0, jnp.asarray(float(marker_var0), dtype), 1.0)
+    elif method == "BayesR":
+        varg = jnp.asarray(float(marker_var0), dtype)
+    elif method != "none":
+        varg = jnp.asarray(np.asarray(marker_var0, dtype=np.float64).item(), dtype)
+    else:
+        varg = jnp.zeros((), dtype)
+
+    if method == "BayesR":
+        pi = jnp.asarray(np.asarray(ws.pi0, dtype=np.float64), dtype)
+    elif method in ("BayesC", "BayesB"):
+        pi_np = ws.pi0
+        if np.ndim(pi_np) == 0:
+            pi_full = np.full(p_pad, float(pi_np))
+        else:
+            pi_full = np.ones(p_pad)
+            pi_full[:p] = np.asarray(pi_np, dtype=np.float64)
+        pi_full[p:] = 1.0
+        pi = jnp.asarray(pi_full, dtype)
+    else:
+        pi = jnp.zeros((0,), dtype)
+
+    scale_g = jnp.asarray(
+        0.0 if marker_scale0 is None else float(np.mean(marker_scale0)), dtype
+    )
+
+    state = ChainState(
+        key=key, sol=sol, alpha=alpha, beta=beta, delta=delta, gamma_l=gamma_l,
+        ycorr=ycorr, vare=jnp.asarray(float(ws.vare0), dtype), varg=varg, pi=pi,
+        scale_g=scale_g, vc=tuple(vc0),
+    )
+    return cfg, data, state
+
+
+def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
+    """Run MCMC for the model (the reference's `runMCMC`, JWAS.jl:161-511).
+
+    Returns a dict of pandas DataFrames with posterior summaries, matching the
+    reference's results dictionary keys where applicable.
+    """
+    opts = MCMCOptions(**kwargs)
+    if opts.double_precision:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if opts.double_precision else jnp.float32
+
+    if model.n_models != 1:
+        from jwas_tpu.engine.mcmc_mt import run_mcmc_mt
+
+        return run_mcmc_mt(model, df, opts, dtype)
+
+    ws = prepare_workspace(model, df, opts)
+    cfg, data, state = _build_st_data_and_state(ws, opts, dtype)
+
+    nreps = cfg.nreps
+    chain_length = opts.chain_length
+    n_outer = max(1, chain_length // nreps)
+    burnin_outer = opts.burnin // nreps
+    osf = opts.output_samples_frequency
+    if osf <= 0:
+        osf = max(1, chain_length // 1000)
+    thin_outer = max(1, osf // nreps)
+    n_saved = max(1, (n_outer - burnin_outer) // thin_outer)
+
+    run_window = make_run_window(cfg)
+    accum = _init_accum(cfg, data, state)
+
+    if burnin_outer > 0:
+        state, accum, _ = run_window(state, data, accum, burnin_outer, accumulate=False)
+
+    samples = {"vare": [], "varg": [], "pi": [], "genvar": [], "h2": []}
+    alpha_samples = [] if opts.output_marker_samples else None
+    for _ in range(n_saved):
+        state, accum, out = run_window(state, data, accum, thin_outer, accumulate=True)
+        samples["vare"].append(np.asarray(out.vare))
+        samples["varg"].append(np.asarray(out.varg_mean))
+        samples["pi"].append(np.asarray(out.pi_summary))
+        samples["genvar"].append(np.asarray(out.genvar))
+        samples["h2"].append(np.asarray(out.h2))
+        if alpha_samples is not None:
+            alpha_samples.append(np.asarray(state.alpha[: cfg.n_markers]))
+
+    from jwas_tpu.engine.output import build_results
+
+    results = build_results(ws, cfg, accum, samples, opts)
+    if alpha_samples is not None and ws.geno is not None:
+        os.makedirs(opts.output_folder, exist_ok=True)
+        trait = model.lhs_vec[0]
+        path = os.path.join(
+            opts.output_folder,
+            f"MCMC_samples_marker_effects_{ws.geno.name}_{trait}.txt",
+        )
+        header = ",".join(ws.geno.marker_ids)
+        np.savetxt(path, np.stack(alpha_samples), delimiter=",", header=header, comments="")
+        results["_marker_sample_file"] = path
+    return results

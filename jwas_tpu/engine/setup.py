@@ -1,0 +1,428 @@
+"""Host-side assembly: (model, phenotypes, options) -> device-ready workspace.
+
+Equivalent of the validation/setup stages of the reference driver (reference:
+src/1.JWAS/src/JWAS.jl:161-511 and input_data_validation.jl): ID
+reconciliation between phenotypes/genotypes/pedigree, default priors from the
+phenotypic variance (h^2 = 0.5 split), marker-variance derivation from the
+genetic variance (genetic2marker, tools4genotypes.jl:426-478), incidence
+matrices, and output/prediction setup.
+
+Everything here is numpy/pandas on the host; the MCMC engine stages the
+resulting arrays onto the device once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import scipy.sparse as sp
+
+from jwas_tpu.io.genotypes import BAYESR_GAMMA, Genotypes
+from jwas_tpu.models.design import (
+    build_design,
+    incidence_for_ids,
+    stack_phenotypes,
+)
+from jwas_tpu.models.model import Model
+
+
+@dataclass
+class MCMCOptions:
+    """Keyword options of `runMCMC` (reference JWAS.jl:161-202)."""
+
+    chain_length: int = 100
+    burnin: int = 0
+    output_samples_frequency: int = 0   # 0 -> auto (chain_length/1000, min 1)
+    seed: Optional[int] = None
+    double_precision: bool = False
+    fast_blocks: object = False         # False | True | int block size
+    nreps: Optional[int] = None         # inner sweeps per outer iter (default block size)
+    outputEBV: bool = True
+    output_heritability: bool = True
+    output_folder: str = "results"
+    output_marker_samples: bool = False
+    heterogeneous_residuals: bool = False
+    missing_phenotypes: bool = True
+    constraint: bool = False
+    single_step_analysis: bool = False
+    pedigree: object = None
+    causal_structure: object = None
+    update_priors_frequency: int = 0
+    printout_model_info: bool = True
+    starting_value: object = None
+    mesh: object = None                 # jax.sharding.Mesh for multi-chip runs
+
+
+@dataclass
+class REGroupData:
+    starts: Tuple[int, ...]
+    n_levels: int
+    Vinv: Optional[np.ndarray]          # dense (q, q) or None (identity)
+    G0: np.ndarray                      # (k, k) starting covariance
+    df: float
+    scale: np.ndarray                   # (k, k)
+    term_array: List[str]
+    random_type: str
+    estimate_variance: bool = True
+
+
+@dataclass
+class Workspace:
+    model: Model
+    df: pd.DataFrame                    # training rows
+    n_obs: int
+    n_traits: int
+    W: np.ndarray                       # (t*n, K) dense location design
+    y: np.ndarray                       # (t*n,)
+    y_mask: np.ndarray                  # (t*n,) bool, False where missing
+    rinv: Optional[np.ndarray]          # (n,) inverse residual weights or None
+    geno: Optional[Genotypes]           # aligned to training rows
+    output_genotypes: Optional[np.ndarray]
+    re_groups: List[REGroupData]
+    vare0: np.ndarray                   # scalar or (t, t)
+    scale_R: np.ndarray
+    df_R: float
+    marker_var0: Optional[np.ndarray]
+    marker_scale0: Optional[np.ndarray]
+    df_marker: float
+    pi0: object
+    output_ids: List[str]
+    prediction_terms: List[str]
+    output_X: Dict[str, np.ndarray]     # term -> dense (n_out, n_levels)
+    gblup_L: Optional[np.ndarray] = None
+    gblup_D: Optional[np.ndarray] = None
+    obs_ids: List[str] = field(default_factory=list)
+
+
+def _default_priors(model: Model, df: pd.DataFrame) -> np.ndarray:
+    """Phenotypic variance split with h^2 = 0.5
+    (set_default_priors_for_variance_components, input_data_validation.jl:296-373).
+
+    Returns the per-trait phenotypic variance diag matrix and fills in missing
+    priors on the model in place.
+    """
+    t = model.n_models
+    myvar = np.zeros(t)
+    for i, lhs in enumerate(model.lhs_vec):
+        col = pd.to_numeric(df[lhs], errors="coerce").to_numpy(dtype=np.float64)
+        col = col[np.isfinite(col)]
+        myvar[i] = np.var(col, ddof=1) if len(col) > 1 else 1.0
+    phenovar = np.diag(myvar)
+    h2 = 0.5
+
+    genetic_count = len(model.M)
+    nongenetic_count = 1
+    for re in model.random_effects:
+        if re.random_type == "A":
+            genetic_count += 1
+        elif re.term_array[0].split(":")[1] not in ("ϵ", "eps"):
+            nongenetic_count += 1
+    varg = phenovar * h2 / max(genetic_count, 1)
+    vare = phenovar * h2 / nongenetic_count
+
+    for g in model.M:
+        if g.G.val is None and g.genetic_variance.val is None:
+            g.genetic_variance.val = varg[0, 0] if t == 1 else varg
+
+    if model.R.val is None:
+        is_cat = model.traits_type in (["categorical"], ["categorical(binary)"])
+        if t == 1:
+            model.R.val = 1.0 if is_cat else float(vare[0, 0])
+            model.R.scale = model.R.val * (model.R.df - 2.0) / model.R.df
+            if is_cat:
+                model.R.estimate_variance = False
+        else:
+            vmat = vare.copy()
+            bin_idx = [i for i, tt in enumerate(model.traits_type) if tt == "categorical(binary)"]
+            for i in bin_idx:
+                vmat[i, :] = 0.0
+                vmat[:, i] = 0.0
+                vmat[i, i] = 1.0
+            model.R.val = vmat
+            model.R.scale = vmat * (model.R.df - t - 1.0)
+
+    for re in model.random_effects:
+        if re.G.val is None:
+            k = len(re.term_array)
+            base = varg if re.random_type == "A" else vare
+            diag = []
+            for term in re.term_array:
+                trait = term.split(":")[0]
+                ti = model.lhs_vec.index(trait)
+                diag.append(base[ti, ti])
+            G = np.diag(diag) if k > 1 else np.array([[diag[0]]])
+            re.G.val = G
+            re.G.scale = G * (re.G.df - k - 1.0)
+    return varg
+
+
+def _genetic2marker(g: Genotypes, n_traits: int) -> None:
+    """Derive the marker-effect variance from the genetic variance
+    (tools4genotypes.jl:353-478)."""
+    if g.G.val is not None:
+        return
+    if g.method == "GBLUP":
+        g.G.val = np.asarray(g.genetic_variance.val, dtype=np.float64)
+        return
+    gv = np.asarray(g.genetic_variance.val, dtype=np.float64)
+    if g.method == "BayesR":
+        pi = np.asarray(g.pi, dtype=np.float64)
+        denom = g.sum2pq * float(np.sum(BAYESR_GAMMA * pi))
+        if denom <= 0:
+            raise ValueError("BayesR implied variance denominator must be positive")
+        g.G.val = gv / denom
+    elif n_traits == 1:
+        pi = float(g.pi) if np.ndim(g.pi) == 0 else None
+        if pi is None:
+            # per-marker pi: 2pq-weighted inclusion (tools4genotypes.jl:461-477)
+            include = 1.0 - np.clip(np.asarray(g.pi, dtype=np.float64), 0.0, 1.0)
+            twopq = 2.0 * g.allele_freq * (1.0 - g.allele_freq)
+            denom = float(np.sum(twopq * include))
+        else:
+            denom = (1.0 - pi) * g.sum2pq
+        g.G.val = gv / denom
+    else:
+        # multi-trait: denominator from the joint inclusion-pattern Pi dict.
+        pi = g.pi
+        t = n_traits
+        denom = np.zeros((t, t))
+        if isinstance(pi, dict):
+            for i in range(t):
+                for j in range(i, t):
+                    tot = sum(v for kpat, v in pi.items() if kpat[i] == 1.0 and kpat[j] == 1.0)
+                    denom[i, j] = denom[j, i] = g.sum2pq * tot
+        else:
+            denom[:] = g.sum2pq
+        g.G.val = gv / denom
+
+
+def set_marker_hyperparameters(model: Model) -> None:
+    """set_marker_hyperparameters_variances_and_pi (tools4genotypes.jl:353-424)."""
+    t = model.n_models
+    for g in model.M:
+        if t > 1 and (np.ndim(g.pi) == 0 and g.pi == 0.0) and g.method not in ("RR-BLUP", "BayesL"):
+            # default multi-trait Pi: all markers affect all traits
+            pi = {}
+            for n in range(2**t):
+                pat = tuple(float(b) for b in np.binary_repr(n, t))
+                pi[pat] = 0.0
+            pi[tuple([1.0] * t)] = 1.0
+            g.pi = pi
+        _genetic2marker(g, t)
+        gval = np.asarray(g.G.val, dtype=np.float64)
+        if t == 1:
+            g.G.scale = gval * (g.G.df - 1.0 - 1.0) / g.G.df
+        else:
+            g.G.scale = gval * (g.G.df - t - 1.0)
+        if t == 1 and g.method in ("BayesA", "BayesB", "BayesC") and np.ndim(g.pi) == 0:
+            g.pi = float(g.pi)
+
+
+def normalize_method(g: Genotypes, model: Model) -> None:
+    """Method shims of errors_args (input_data_validation.jl:20-44)."""
+    if g.method in ("RR-BLUP", "BayesL", "GBLUP", "BayesA"):
+        g.estimate_pi = False
+        if g.method != "BayesA":
+            g.pi = 0.0
+    if g.method == "BayesA":
+        g.method = "BayesB"
+        g.pi = 0.0
+    if g.method == "BayesR" and model.n_models != 1:
+        raise ValueError("BayesR supports single-trait analysis only")
+
+
+def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Workspace:
+    """Full setup pipeline; mirrors runMCMC steps 1-9 (JWAS.jl:272-459)."""
+    t = model.n_models
+    df = df.copy()
+    id_col = df.columns[0]
+    df[id_col] = [str(x).strip() for x in df[id_col]]
+
+    if opts.pedigree is not None and model.ped is None:
+        model.ped = opts.pedigree
+
+    for g in model.M:
+        normalize_method(g, model)
+
+    # --- ID reconciliation (input_data_validation.jl:198-294) ---
+    if model.M and not opts.single_step_analysis:
+        geno_ids = set(model.M[0].obs_ids)
+        keep = df[id_col].isin(geno_ids)
+        if not keep.all():
+            print(f"{int((~keep).sum())} phenotyped individuals are not genotyped; removed.")
+            df = df[keep]
+    if model.ped is not None:
+        ped_ids = set(model.ped.ids)
+        keep = df[id_col].isin(ped_ids)
+        if not keep.all():
+            print(f"{int((~keep).sum())} phenotyped individuals are not in the pedigree; removed.")
+            df = df[keep]
+
+    # --- default output IDs (check_outputID, input_data_validation.jl:143-196) ---
+    output_ids = model.output_ids
+    if opts.outputEBV or opts.output_heritability:
+        if output_ids is None:
+            if model.M:
+                output_ids = list(model.M[0].obs_ids)
+            elif model.ped is not None:
+                output_ids = list(model.ped.ids)
+            else:
+                output_ids = []
+        if model.M and not opts.single_step_analysis:
+            geno_ids = set(model.M[0].obs_ids)
+            output_ids = [s for s in output_ids if s in geno_ids]
+    else:
+        output_ids = []
+
+    # --- whole-data frame: append output individuals without phenotypes ---
+    df_ids = set(df[id_col])
+    extra = [s for s in output_ids if s not in df_ids]
+    if extra:
+        df_extra = pd.DataFrame({id_col: extra})
+        df_whole = pd.concat([df, df_extra], ignore_index=True)
+    else:
+        df_whole = df.reset_index(drop=True)
+
+    # training rows: at least one non-missing trait
+    miss = np.ones((len(df_whole), t), dtype=bool)
+    for i, lhs in enumerate(model.lhs_vec):
+        col = pd.to_numeric(df_whole[lhs], errors="coerce").to_numpy(dtype=np.float64)
+        miss[:, i] = ~np.isfinite(col)
+    train_rows = np.where(~miss.all(axis=1))[0]
+
+    # --- priors from data (before splitting off the training view) ---
+    varg_default = _default_priors(model, df_whole.iloc[train_rows])
+    del varg_default
+    set_marker_hyperparameters(model)
+
+    # --- design matrices over the whole frame; then restrict to train rows ---
+    X_whole = build_design(model, df_whole)
+    n_whole = len(df_whole)
+    row_sel = np.concatenate([m * n_whole + train_rows for m in range(t)])
+    W = np.asarray(X_whole[row_sel, :].todense())
+
+    df_train = df_whole.iloc[train_rows].reset_index(drop=True)
+    obs_ids = [str(x) for x in df_train[id_col]]
+    n_obs = len(df_train)
+    y, y_mask = stack_phenotypes(model, df_train)
+
+    # --- prediction equation & output incidence (prediction_setup/output.jl:29-59) ---
+    prediction_terms = list(model.ped_term_vec)
+    output_X: Dict[str, np.ndarray] = {}
+    id_rows = {}
+    for i, s in enumerate([str(x) for x in df_whole[id_col]]):
+        id_rows.setdefault(s, i)
+    for term_name in prediction_terms:
+        term = model.term_dict[term_name]
+        rows = [term.i_model * n_whole + id_rows[s] for s in output_ids]
+        output_X[term_name] = np.asarray(term.X[rows, :].todense())
+    # restrict each term's X to training rows for the MME
+    for term in model.terms:
+        term.X = term.X[row_sel, :]
+
+    # --- residual weights ---
+    rinv = None
+    if opts.heterogeneous_residuals:
+        w = pd.to_numeric(df_train["weights"], errors="raise").to_numpy(dtype=np.float64)
+        rinv = 1.0 / w
+
+    # --- genotypes aligned to training rows & output IDs ---
+    geno = None
+    out_geno = None
+    gblup_L = gblup_D = None
+    if model.M:
+        g0 = model.M[0]
+        if g0.method == "GBLUP":
+            grm = np.asarray(g0.genotypes, dtype=np.float64)
+            evals, evecs = np.linalg.eigh(grm)
+            D = np.abs(evals)
+            L = evecs
+            Zt = incidence_for_ids(obs_ids, g0.obs_ids).toarray()
+            Zo = incidence_for_ids(output_ids, g0.obs_ids).toarray() if output_ids else None
+            gblup_L = Zt @ L
+            gblup_D = D
+            # output map: (Z_o G) L diag(1/D)  (GBLUP.jl:9-31)
+            out_geno = (Zo @ grm @ L) / D[None, :] if Zo is not None else None
+            geno = g0
+        else:
+            geno = g0.aligned_to(obs_ids)
+            geno.G = g0.G
+            geno.genetic_variance = g0.genetic_variance
+            geno.pi = g0.pi
+            geno.method = g0.method
+            geno.estimate_pi = g0.estimate_pi
+            if output_ids:
+                Zo = incidence_for_ids(output_ids, g0.obs_ids)
+                out_geno = np.asarray(Zo @ g0.genotypes)
+
+    # --- random-effect group data ---
+    re_groups: List[REGroupData] = []
+    for re in model.random_effects:
+        terms = [model.term_dict[s] for s in re.term_array]
+        q = terms[0].n_levels
+        for trm in terms:
+            if trm.n_levels != q:
+                raise ValueError("terms in one random-effect group must share levels")
+        Vinv = None
+        if re.Vinv is not None:
+            Vinv = np.asarray(re.Vinv.todense())
+        G0 = np.asarray(re.G.val, dtype=np.float64)
+        re_groups.append(
+            REGroupData(
+                starts=tuple(trm.start_pos for trm in terms),
+                n_levels=q,
+                Vinv=Vinv,
+                G0=G0,
+                df=float(re.G.df),
+                scale=np.asarray(re.G.scale, dtype=np.float64),
+                term_array=list(re.term_array),
+                random_type=re.random_type,
+                estimate_variance=re.G.estimate_variance,
+            )
+        )
+
+    if t == 1:
+        vare0 = np.asarray(float(model.R.val))
+        scale_R = np.asarray(float(model.R.scale))
+    else:
+        vare0 = np.asarray(model.R.val, dtype=np.float64)
+        scale_R = np.asarray(model.R.scale, dtype=np.float64)
+
+    marker_var0 = marker_scale0 = None
+    df_marker = 4.0
+    pi0 = None
+    if geno is not None:
+        marker_var0 = np.asarray(geno.G.val, dtype=np.float64)
+        marker_scale0 = np.asarray(geno.G.scale, dtype=np.float64)
+        df_marker = float(geno.G.df)
+        pi0 = geno.pi
+
+    return Workspace(
+        model=model,
+        df=df_train,
+        n_obs=n_obs,
+        n_traits=t,
+        W=W,
+        y=y,
+        y_mask=y_mask,
+        rinv=rinv,
+        geno=geno,
+        output_genotypes=out_geno,
+        re_groups=re_groups,
+        vare0=vare0,
+        scale_R=scale_R,
+        df_R=float(model.R.df),
+        marker_var0=marker_var0,
+        marker_scale0=marker_scale0,
+        df_marker=df_marker,
+        pi0=pi0,
+        output_ids=list(output_ids),
+        prediction_terms=prediction_terms,
+        output_X=output_X,
+        gblup_L=gblup_L,
+        gblup_D=gblup_D,
+        obs_ids=obs_ids,
+    )

@@ -1,0 +1,111 @@
+"""Packaged example datasets and simulation utilities.
+
+Equivalent in role to the reference Datasets module (reference:
+src/4.Datasets/): provides small demo data for docs/tests and a genomic
+simulator with known truth for integration tests. All data is generated
+deterministically (fixed seeds) rather than shipped as files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+_CACHE: Dict[str, Dict[str, pd.DataFrame]] = {}
+
+
+def _demo_7animals() -> Dict[str, pd.DataFrame]:
+    """A tiny dataset in the shape of the reference demo (4.Datasets demo_7animals):
+    7 animals (3 founders), 3 traits, 5 markers."""
+    pedigree = pd.DataFrame(
+        {
+            "ID": ["S1", "D1", "O1", "O2", "O3", "D2", "O4"],
+            "Sire": ["0", "0", "S1", "S1", "S1", "0", "S1"],
+            "Dam": ["0", "0", "D1", "D1", "D2", "0", "D2"],
+        }
+    )
+    rng = np.random.default_rng(7)
+    geno = rng.integers(0, 3, size=(7, 5))
+    genotypes = pd.DataFrame(
+        np.column_stack([pedigree["ID"], geno]),
+        columns=["ID", "m1", "m2", "m3", "m4", "m5"],
+    )
+    phenotypes = pd.DataFrame(
+        {
+            "ID": ["S1", "D1", "O1", "O2", "O3", "D2", "O4"],
+            "y1": [100.0, 50.0, 150.0, 40.0, 90.0, 105.0, 70.0],
+            "y2": [10.0, 12.9, 13.0, 5.0, 7.5, 11.0, 9.0],
+            "y3": [1.0, 2.0, 2.0, 1.0, 2.0, 1.0, 2.0],
+            "x1": [1.0, 2.0, 3.0, 2.5, 1.5, 2.2, 1.8],
+            "x2": [1, 1, 2, 2, 1, 2, 1],
+            "x3": ["m", "f", "m", "f", "m", "f", "m"],
+            "dam": ["0", "0", "D1", "D1", "D2", "0", "D2"],
+        }
+    )
+    return {"phenotypes": phenotypes, "pedigree": pedigree, "genotypes": genotypes}
+
+
+def simulate_genomic_data(
+    n: int = 1000,
+    p: int = 2000,
+    n_qtl: int = 50,
+    h2: float = 0.5,
+    seed: int = 42,
+    maf_low: float = 0.05,
+) -> Dict[str, object]:
+    """Simulate genotypes + a quantitative trait with known truth.
+
+    Returns dict with 'phenotypes' (DataFrame: ID, y), 'genotypes' (DataFrame:
+    ID + markers), 'true_bv' (n,), 'qtl_effects' (p,), 'h2'.
+    """
+    rng = np.random.default_rng(seed)
+    freqs = rng.uniform(maf_low, 1 - maf_low, size=p)
+    X = rng.binomial(2, freqs[None, :], size=(n, p)).astype(np.float32)
+    effects = np.zeros(p)
+    qtl = rng.choice(p, size=n_qtl, replace=False)
+    effects[qtl] = rng.normal(0.0, 1.0, size=n_qtl)
+    bv = (X - X.mean(axis=0)) @ effects
+    var_g = bv.var()
+    var_e = var_g * (1 - h2) / h2 if h2 > 0 else 1.0
+    y = 10.0 + bv + rng.normal(0.0, np.sqrt(var_e), size=n)
+    ids = [f"ind{i+1}" for i in range(n)]
+    pheno = pd.DataFrame({"ID": ids, "y": y.astype(np.float64)})
+    geno = pd.DataFrame(X, columns=[f"m{j+1}" for j in range(p)])
+    geno.insert(0, "ID", ids)
+    return {
+        "phenotypes": pheno,
+        "genotypes": geno,
+        "true_bv": bv,
+        "qtl_effects": effects,
+        "h2": h2,
+        "qtl": qtl,
+    }
+
+
+def dataset(name: str, dataset_name: Optional[str] = None):
+    """Return a demo dataset table, or a path to it on disk.
+
+    dataset(name): with name in {"phenotypes", "pedigree", "genotypes"} returns
+    the demo_7animals table of that name as a CSV file path (mirroring the
+    reference `dataset(file)` path-resolver, Datasets.jl:4-12). Pass
+    dataset_name="demo_7animals" explicitly for clarity.
+    """
+    ds_name = dataset_name or "demo_7animals"
+    if ds_name not in _CACHE:
+        if ds_name == "demo_7animals":
+            _CACHE[ds_name] = _demo_7animals()
+        else:
+            raise ValueError(f"unknown dataset {ds_name!r}")
+    tables = _CACHE[ds_name]
+    if name not in tables:
+        raise ValueError(f"unknown table {name!r}; options: {sorted(tables)}")
+    outdir = os.path.join(tempfile.gettempdir(), f"jwas_tpu_{ds_name}")
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, f"{name}.csv")
+    if not os.path.exists(path):
+        tables[name].to_csv(path, index=False)
+    return path

@@ -1,0 +1,81 @@
+"""Pedigree engine tests: topological coding, inbreeding, A-inverse.
+
+Mirrors the reference's pedigree algorithm tests (test/unit/
+test_pedigree_algorithms.jl pattern): verify against hand-computable examples
+and the identity A_inverse @ A == I.
+"""
+
+import numpy as np
+import pandas as pd
+
+from jwas_tpu import get_pedigree
+
+
+def _mrode_pedigree():
+    # Classic example (Mrode, ch.2): 6 animals.
+    return pd.DataFrame(
+        {
+            "id": ["3", "4", "5", "6", "1", "2"],
+            "sire": ["1", "1", "4", "5", "0", "0"],
+            "dam": ["2", "0", "3", "2", "0", "0"],
+        }
+    )
+
+
+def test_topological_order():
+    ped = get_pedigree(_mrode_pedigree())
+    idx = ped.id_index
+    for i, (s, d) in enumerate(zip(ped.sire, ped.dam)):
+        if s >= 0:
+            assert s < i
+        if d >= 0:
+            assert d < i
+    assert len(ped) == 6
+    assert set(ped.ids) == {"1", "2", "3", "4", "5", "6"}
+    del idx
+
+
+def test_inbreeding_mrode():
+    ped = get_pedigree(_mrode_pedigree())
+    f = {ped.ids[i]: ped.inbreeding[i] for i in range(len(ped))}
+    # Known coefficients for this pedigree (Mrode 2nd ed., example 2.1)
+    assert np.isclose(f["1"], 0.0)
+    assert np.isclose(f["2"], 0.0)
+    assert np.isclose(f["3"], 0.0)
+    assert np.isclose(f["4"], 0.0)
+    assert np.isclose(f["5"], 0.125)
+    assert np.isclose(f["6"], 0.125)
+
+
+def test_a_inverse_is_inverse_of_a():
+    ped = get_pedigree(_mrode_pedigree())
+    A = ped.a_matrix()
+    Ai = ped.a_inverse().toarray()
+    np.testing.assert_allclose(Ai @ A, np.eye(len(ped)), atol=1e-8)
+
+
+def test_a_inverse_larger_random_pedigree():
+    rng = np.random.default_rng(3)
+    n = 200
+    rows = []
+    for i in range(n):
+        if i < 20:
+            rows.append((f"a{i}", "0", "0"))
+        else:
+            s = rng.integers(0, i)
+            d = rng.integers(0, i)
+            rows.append((f"a{i}", f"a{s}", f"a{d}" if d != s else "0"))
+    df = pd.DataFrame(rows, columns=["id", "sire", "dam"])
+    ped = get_pedigree(df)
+    A = ped.a_matrix()
+    Ai = ped.a_inverse().toarray()
+    np.testing.assert_allclose(Ai @ A, np.eye(n), atol=1e-6)
+    # inbreeding must equal diag(A) - 1
+    np.testing.assert_allclose(ped.inbreeding, np.diag(A) - 1.0, atol=1e-10)
+
+
+def test_parents_only_in_columns_get_founder_entries():
+    df = pd.DataFrame({"id": ["c"], "sire": ["a"], "dam": ["b"]})
+    ped = get_pedigree(df)
+    assert set(ped.ids) == {"a", "b", "c"}
+    assert ped.inbreeding[ped.id_index["c"]] == 0.0
