@@ -26,22 +26,35 @@ def main():
     from jwas_tpu.engine.state import ChainState
     from jwas_tpu.ops import markers as mk
 
-    # Size to fit one chip's HBM: n=20k x p=100k f32 X = 8 GB (+ ~100 MB Grams).
-    n = int(os.environ.get("BENCH_N", 20_000))
-    p = int(os.environ.get("BENCH_P", 100_000))
+    # Size to fit one chip's HBM (v5e 16GB): n=12k x p=98304 (384 blocks of 256, no pad copy) f32 X = 4.7 GB.
+    n = int(os.environ.get("BENCH_N", 12_000))
+    p = int(os.environ.get("BENCH_P", 98_304))
     block = int(os.environ.get("BENCH_BLOCK", 256))
     nreps = int(os.environ.get("BENCH_NREPS", block))
     n_outer = int(os.environ.get("BENCH_OUTER", 4))
     dtype = jnp.float32
 
     key = jax.random.PRNGKey(0)
-    kf, kx, ke, kb = jax.random.split(key, 4)
+    kf, ke = jax.random.split(key, 2)
     freqs = jax.random.uniform(kf, (p,), minval=0.1, maxval=0.9)
-    X = (
-        (jax.random.uniform(kx, (n, p)) < freqs).astype(dtype)
-        + (jax.random.uniform(kb, (n, p)) < freqs).astype(dtype)
-    )
-    X = X - jnp.mean(X, axis=0)
+
+    @jax.jit
+    def gen_chunk(k, f):
+        k1, k2 = jax.random.split(k)
+        cn = f.shape[0]
+        raw = (
+            (jax.random.uniform(k1, (n, cn)) < f).astype(dtype)
+            + (jax.random.uniform(k2, (n, cn)) < f).astype(dtype)
+        )
+        return raw - 2.0 * f[None, :]  # center with the theoretical mean
+
+    chunk = 16_384
+    cols = []
+    for c0 in range(0, p, chunk):
+        c1 = min(c0 + chunk, p)
+        cols.append(gen_chunk(jax.random.fold_in(key, c0), freqs[c0:c1]))
+    X = jnp.concatenate(cols, axis=1)
+    del cols
     beta_true = jax.random.normal(ke, (p,)) * jnp.where(
         jax.random.uniform(ke, (p,)) < 0.01, 1.0, 0.0
     )
@@ -83,8 +96,8 @@ def main():
     run_window = make_run_window(cfg)
     accum = _init_accum(cfg, data, state)
 
-    # warm-up / compile
-    state, accum, _ = run_window(state, data, accum, 1, accumulate=False)
+    # warm-up / compile with the same static n_iters as the timed call
+    state, accum, _ = run_window(state, data, accum, n_outer, accumulate=True)
     jax.block_until_ready(state.ycorr)
 
     t0 = time.perf_counter()

@@ -48,7 +48,11 @@ class MarkerBlocks(NamedTuple):
 
     X:      (n, p_pad) centered genotype covariates (padded cols are zero).
     xpx:    (p_pad,)  x_j' R^-1 x_j.
-    grams:  (nblocks, b, b) block Gram matrices X_b' R^-1 X_b.
+    grams:  (b, b, nblocks) block Gram matrices, **j-major**: grams[j, r, i] =
+            (X_i' R^-1 X_i)[r, j]. The within-block marker index j is the
+            leading axis so each sequential Gibbs step slices one contiguous
+            (b, nblocks) slab; the block axis i is the minor (lane) dimension
+            so the per-step arithmetic vectorizes across all blocks in flight.
     valid:  (p_pad,) 1.0 for real markers, 0.0 for padding.
     """
 
@@ -86,8 +90,9 @@ def build_marker_blocks(X, rinv=None, block_size=None, gram_chunk=64) -> MarkerB
         c1 = min(c0 + gram_chunk, nblocks)
         Xr = X[:, c0 * b : c1 * b].reshape(n, c1 - c0, b)
         Xrw = Xr if w is None else Xr * w[:, None, None]
-        grams.append(jnp.einsum("nib,nic->ibc", Xrw, Xr))
-    grams = jnp.concatenate(grams, axis=0)
+        # j-major layout: out[j, r, i] = sum_n Xr[n,i,j] * Xrw[n,i,r]
+        grams.append(jnp.einsum("nij,nir->jri", Xr, Xrw))
+    grams = jnp.concatenate(grams, axis=2)
     valid = (jnp.arange(p_pad) < p).astype(X.dtype)
     return MarkerBlocks(X=X, xpx=xpx, grams=grams, valid=valid)
 
@@ -168,8 +173,18 @@ def _blocked_round(md: MarkerBlocks, step_fn, carry0, keys_shape_draws, nreps, b
     def scan_body(carry, inp):
         return step_fn(carry, inp), None
 
-    carry, _ = jax.lax.scan(scan_body, carry0, (idx,) + keys_shape_draws)
+    carry, _ = jax.lax.scan(scan_body, carry0, (idx,) + keys_shape_draws, unroll=4)
     return carry
+
+
+def _to_jmajor(x, nblocks, b):
+    """(p_pad,) -> (b, nblocks): within-block index leading, block index minor."""
+    return x.reshape(nblocks, b).T
+
+
+def _from_jmajor(x):
+    """(b, nblocks) -> (p_pad,)."""
+    return x.T.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("nreps",))
@@ -181,49 +196,51 @@ def sweep_blocks_abc(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
     var_eff: scalar (BayesC) or (p_pad,) (BayesB); pi: (p_pad,) P(excluded).
     Returns (alpha, beta, delta, ycorr).
     """
-    nblocks, b, _ = md.grams.shape
+    b, _, nblocks = md.grams.shape
     dtype = ycorr.dtype
     inv_vare = 1.0 / vare
-    var_eff_b = jnp.broadcast_to(jnp.asarray(var_eff, dtype), (nblocks * b,)).reshape(nblocks, b)
+    var_eff_b = _to_jmajor(
+        jnp.broadcast_to(jnp.asarray(var_eff, dtype), (nblocks * b,)), nblocks, b
+    )
     pi_c = jnp.clip(pi.astype(dtype), 1e-10, 1.0)
-    log_pi = jnp.log(pi_c).reshape(nblocks, b)
-    log_pi_comp = jnp.log1p(-pi_c + 1e-12).reshape(nblocks, b)
-    xpx_b = md.xpx.reshape(nblocks, b)
+    log_pi = _to_jmajor(jnp.log(pi_c), nblocks, b)
+    log_pi_comp = _to_jmajor(jnp.log1p(-pi_c + 1e-12), nblocks, b)
+    xpx_b = _to_jmajor(md.xpx, nblocks, b)
 
     w = ycorr if rinv is None else rinv * ycorr
-    rhs0 = (md.X.T @ w).reshape(nblocks, b)
+    rhs0 = _to_jmajor(md.X.T @ w, nblocks, b)
 
     ku, kz = jax.random.split(key)
     us = jax.random.uniform(ku, (nreps * b, nblocks), dtype=dtype)
     zs = jax.random.normal(kz, (nreps * b, nblocks), dtype=dtype)
 
-    alpha_b = alpha.reshape(nblocks, b)
-    beta_b = beta.reshape(nblocks, b)
-    delta_b = delta.reshape(nblocks, b)
+    alpha_b = _to_jmajor(alpha, nblocks, b)
+    beta_b = _to_jmajor(beta, nblocks, b)
+    delta_b = _to_jmajor(delta, nblocks, b)
     alpha_start = alpha_b
 
     def step(carry, inp):
         alpha_b, beta_b, delta_b, rhs_b = carry
         j, u, z = inp
-        a_j = alpha_b[:, j]
+        a_j = alpha_b[j]
         a_new, b_new, d_new = _abc_update(
-            rhs_b[:, j], a_j, xpx_b[:, j], inv_vare, var_eff_b[:, j],
-            log_pi[:, j], log_pi_comp[:, j], u, z,
+            rhs_b[j], a_j, xpx_b[j], inv_vare, var_eff_b[j],
+            log_pi[j], log_pi_comp[j], u, z,
         )
-        rhs_b = rhs_b + (a_j - a_new)[:, None] * md.grams[:, :, j]
+        rhs_b = rhs_b + (a_j - a_new)[None, :] * md.grams[j]
         return (
-            alpha_b.at[:, j].set(a_new),
-            beta_b.at[:, j].set(b_new),
-            delta_b.at[:, j].set(d_new),
+            alpha_b.at[j].set(a_new),
+            beta_b.at[j].set(b_new),
+            delta_b.at[j].set(d_new),
             rhs_b,
         )
 
     alpha_b, beta_b, delta_b, _ = _blocked_round(
         md, step, (alpha_b, beta_b, delta_b, rhs0), (us, zs), nreps, b
     )
-    d_alpha = (alpha_start - alpha_b).reshape(-1)
+    d_alpha = _from_jmajor(alpha_start - alpha_b)
     ycorr = ycorr + md.X @ d_alpha
-    return alpha_b.reshape(-1), beta_b.reshape(-1), delta_b.reshape(-1), ycorr
+    return _from_jmajor(alpha_b), _from_jmajor(beta_b), _from_jmajor(delta_b), ycorr
 
 
 @partial(jax.jit, static_argnames=("nreps",))
@@ -233,32 +250,32 @@ def sweep_blocks_c0l(md: MarkerBlocks, alpha, ycorr, rinv, vare, var_eff,
 
     gamma_arr: (p_pad,) BayesL local shrinkage (ones for RR-BLUP).
     """
-    nblocks, b, _ = md.grams.shape
+    b, _, nblocks = md.grams.shape
     dtype = ycorr.dtype
     lam = (vare / var_eff) / gamma_arr
-    lam_b = lam.reshape(nblocks, b).astype(dtype)
-    xpx_b = md.xpx.reshape(nblocks, b)
-    valid_b = md.valid.reshape(nblocks, b)
+    lam_b = _to_jmajor(lam.astype(dtype), nblocks, b)
+    xpx_b = _to_jmajor(md.xpx, nblocks, b)
+    valid_b = _to_jmajor(md.valid, nblocks, b)
 
     w = ycorr if rinv is None else rinv * ycorr
-    rhs0 = (md.X.T @ w).reshape(nblocks, b)
+    rhs0 = _to_jmajor(md.X.T @ w, nblocks, b)
     zs = jax.random.normal(key, (nreps * b, nblocks), dtype=dtype)
 
-    alpha_b = alpha.reshape(nblocks, b)
+    alpha_b = _to_jmajor(alpha, nblocks, b)
     alpha_start = alpha_b
 
     def step(carry, inp):
         alpha_b, rhs_b = carry
         j, z = inp
-        a_j = alpha_b[:, j]
-        a_new = _c0l_update(rhs_b[:, j], a_j, xpx_b[:, j], vare, lam_b[:, j], z, valid_b[:, j])
-        rhs_b = rhs_b + (a_j - a_new)[:, None] * md.grams[:, :, j]
-        return (alpha_b.at[:, j].set(a_new), rhs_b)
+        a_j = alpha_b[j]
+        a_new = _c0l_update(rhs_b[j], a_j, xpx_b[j], vare, lam_b[j], z, valid_b[j])
+        rhs_b = rhs_b + (a_j - a_new)[None, :] * md.grams[j]
+        return (alpha_b.at[j].set(a_new), rhs_b)
 
     alpha_b, _ = _blocked_round(md, step, (alpha_b, rhs0), (zs,), nreps, b)
-    d_alpha = (alpha_start - alpha_b).reshape(-1)
+    d_alpha = _from_jmajor(alpha_start - alpha_b)
     ycorr = ycorr + md.X @ d_alpha
-    return alpha_b.reshape(-1), ycorr
+    return _from_jmajor(alpha_b), ycorr
 
 
 @partial(jax.jit, static_argnames=("nreps",))
@@ -269,37 +286,40 @@ def sweep_blocks_bayesr(md: MarkerBlocks, alpha, delta, ycorr, rinv, vare,
     pi: (p_pad, 4) per-marker class priors (broadcast the global pi in setup;
     padded rows must be [1,0,0,0]). delta: (p_pad,) int32 class labels.
     """
-    nblocks, b, _ = md.grams.shape
+    b, _, nblocks = md.grams.shape
     dtype = ycorr.dtype
     inv_vare = 1.0 / vare
-    log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0)).reshape(nblocks, b, 4)
-    xpx_b = md.xpx.reshape(nblocks, b)
+    log_pi = jnp.transpose(
+        jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0)).reshape(nblocks, b, 4),
+        (1, 0, 2),
+    )  # (b, nblocks, 4)
+    xpx_b = _to_jmajor(md.xpx, nblocks, b)
 
     w = ycorr if rinv is None else rinv * ycorr
-    rhs0 = (md.X.T @ w).reshape(nblocks, b)
+    rhs0 = _to_jmajor(md.X.T @ w, nblocks, b)
 
     kg, kz = jax.random.split(key)
     gum = jax.random.gumbel(kg, (nreps * b, nblocks, 4), dtype=dtype)
     zs = jax.random.normal(kz, (nreps * b, nblocks), dtype=dtype)
 
-    alpha_b = alpha.reshape(nblocks, b)
-    delta_b = delta.reshape(nblocks, b)
+    alpha_b = _to_jmajor(alpha, nblocks, b)
+    delta_b = _to_jmajor(delta, nblocks, b)
     alpha_start = alpha_b
 
     def step(carry, inp):
         alpha_b, delta_b, rhs_b = carry
         j, g, z = inp
-        a_j = alpha_b[:, j]
+        a_j = alpha_b[j]
         a_new, k_new = _bayesr_update(
-            rhs_b[:, j], a_j, xpx_b[:, j], inv_vare, sigma_sq, log_pi[:, j, :], g, z
+            rhs_b[j], a_j, xpx_b[j], inv_vare, sigma_sq, log_pi[j], g, z
         )
-        rhs_b = rhs_b + (a_j - a_new)[:, None] * md.grams[:, :, j]
-        return (alpha_b.at[:, j].set(a_new), delta_b.at[:, j].set(k_new), rhs_b)
+        rhs_b = rhs_b + (a_j - a_new)[None, :] * md.grams[j]
+        return (alpha_b.at[j].set(a_new), delta_b.at[j].set(k_new), rhs_b)
 
     alpha_b, delta_b, _ = _blocked_round(md, step, (alpha_b, delta_b, rhs0), (gum, zs), nreps, b)
-    d_alpha = (alpha_start - alpha_b).reshape(-1)
+    d_alpha = _from_jmajor(alpha_start - alpha_b)
     ycorr = ycorr + md.X @ d_alpha
-    return alpha_b.reshape(-1), delta_b.reshape(-1), ycorr
+    return _from_jmajor(alpha_b), _from_jmajor(delta_b), ycorr
 
 
 # ---------------------------------------------------------------------------

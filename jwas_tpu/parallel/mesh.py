@@ -49,7 +49,7 @@ def st_data_shardings(mesh: Mesh):
         y=NamedSharding(mesh, rep),
         X=NamedSharding(mesh, P(None, "marker")),
         xpx=NamedSharding(mesh, P("marker")),
-        grams=NamedSharding(mesh, P("marker", None, None)),
+        grams=NamedSharding(mesh, P(None, None, "marker")),
         valid=NamedSharding(mesh, P("marker")),
         Vinv=tuple(),
         vc_scale=tuple(),
