@@ -1,0 +1,117 @@
+"""Multi-trait posterior-summary assembly (output_result, output.jl:108-212)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+
+def _sd(m, m2):
+    return np.sqrt(np.abs(np.asarray(m2) - np.asarray(m) ** 2))
+
+
+def _cov_df(names, mat_m, mat_sd):
+    t = len(names)
+    labels = [f"{names[i]}_{names[j]}" for i in range(t) for j in range(t)]
+    return pd.DataFrame(
+        {
+            "Covariance": labels,
+            "Estimate": np.asarray(mat_m).reshape(-1),
+            "SD": np.asarray(mat_sd).reshape(-1),
+        }
+    )
+
+
+def build_mt_results(ws, cfg, accum, samples, opts) -> Dict[str, pd.DataFrame]:
+    model = ws.model
+    t = cfg.n_traits
+    results: Dict[str, pd.DataFrame] = {}
+
+    names = model.term_names()
+    sol_m = np.asarray(accum.sol_m)
+    sol_sd = _sd(accum.sol_m, accum.sol_m2)
+    rows = []
+    for name, est, sd in zip(names, sol_m, sol_sd):
+        trait, effect, level = name.split(":", 2)
+        rows.append((trait, effect, level, float(est), float(sd)))
+    results["location parameters"] = pd.DataFrame(
+        rows, columns=["Trait", "Effect", "Level", "Estimate", "SD"]
+    )
+
+    results["residual variance"] = _cov_df(
+        model.lhs_vec, accum.R_m, _sd(accum.R_m, accum.R_m2)
+    )
+
+    if ws.geno is not None:
+        g = ws.geno
+        p = cfg.n_markers
+        alpha_m = np.asarray(accum.alpha_m)[:, :p]
+        alpha_sd = _sd(accum.alpha_m, accum.alpha_m2)[:, :p]
+        delta_m = np.asarray(accum.delta_m)[:, :p]
+        marker_ids = g.marker_ids if g.method != "GBLUP" else [str(i + 1) for i in range(p)]
+        results[f"marker effects {g.name}"] = pd.DataFrame(
+            {
+                "Trait": np.repeat(model.lhs_vec, p),
+                "Marker_ID": np.tile(marker_ids, t),
+                "Estimate": alpha_m.reshape(-1),
+                "SD": alpha_sd.reshape(-1),
+                "Model_Frequency": delta_m.reshape(-1),
+            }
+        )
+        results[f"marker effects variances {g.name}"] = _cov_df(
+            model.lhs_vec, accum.varg_m, _sd(accum.varg_m, accum.varg_m2)
+        )
+        if cfg.estimate_pi:
+            pi_m = np.asarray(accum.pi_m)
+            pi_sd = _sd(accum.pi_m, accum.pi_m2)
+            if cfg.constraint:
+                labels = list(model.lhs_vec)
+            else:
+                labels = [
+                    "[" + ", ".join(str(float((s >> k) & 1)) for k in range(t)) + "]"
+                    for s in range(2**t)
+                ]
+            results[f"pi_{g.name}"] = pd.DataFrame(
+                {"pi": labels, "Estimate": pi_m, "SD": pi_sd}
+            )
+
+    for grp, vc_m, vc_m2 in zip(ws.re_groups, accum.vc_m, accum.vc_m2):
+        vc_m = np.atleast_2d(np.asarray(vc_m))
+        vc_sd = np.atleast_2d(_sd(vc_m, np.asarray(vc_m2)))
+        df_vc = _cov_df(grp.term_array, vc_m, vc_sd)
+        if grp.random_type == "A":
+            results["polygenic effects covariance matrix"] = df_vc
+        else:
+            results[f"random effect variances {grp.term_array[0]}"] = df_vc
+
+    if ws.output_ids and (opts.outputEBV or opts.output_heritability):
+        ebv = np.asarray(accum.ebv_m)
+        pev = np.abs(np.asarray(accum.ebv_m2) - ebv**2)
+        for ti, trait in enumerate(model.lhs_vec):
+            results[f"EBV_{trait}"] = pd.DataFrame(
+                {"ID": ws.output_ids, "EBV": ebv[ti], "PEV": pev[ti]}
+            )
+        if opts.output_heritability:
+            gv = np.asarray(samples["genvar"], dtype=np.float64)
+            h2 = np.asarray(samples["h2"], dtype=np.float64)
+            results["genetic_variance"] = _cov_df(
+                model.lhs_vec, gv.mean(axis=0), gv.std(axis=0)
+            )
+            results["heritability"] = pd.DataFrame(
+                {
+                    "Covariance": model.lhs_vec,
+                    "Estimate": h2.mean(axis=0),
+                    "SD": h2.std(axis=0),
+                }
+            )
+
+    if opts.output_folder:
+        os.makedirs(opts.output_folder, exist_ok=True)
+        for key, df_out in results.items():
+            if isinstance(df_out, pd.DataFrame):
+                safe = key.replace(" ", "_").replace("*", ".")
+                df_out.to_csv(os.path.join(opts.output_folder, safe + ".txt"), index=False)
+    return results

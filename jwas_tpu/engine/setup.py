@@ -234,12 +234,56 @@ def normalize_method(g: Genotypes, model: Model) -> None:
         raise ValueError("BayesR supports single-trait analysis only")
 
 
+def _add_censored_trait_columns(model: Model, df: pd.DataFrame) -> None:
+    """Synthesize the censored trait column from its bounds
+    (add_censored_trait_column!, categorical_and_censored_trait.jl:263-296)."""
+    rng = np.random.default_rng(0)
+    for ti, tt in enumerate(model.traits_type):
+        if tt != "censored":
+            continue
+        name = model.lhs_vec[ti]
+        lo = pd.to_numeric(df[f"{name}_l"], errors="coerce").to_numpy(dtype=np.float64)
+        hi = pd.to_numeric(df[f"{name}_u"], errors="coerce").to_numpy(dtype=np.float64)
+        both_missing = np.isnan(lo) & np.isnan(hi)
+        lo = np.where(np.isnan(lo), -np.inf, lo)
+        hi = np.where(np.isnan(hi), np.inf, hi)
+        y = np.where(
+            np.isinf(lo) & np.isinf(hi), np.nan,
+            np.where(np.isinf(lo), hi,
+                     np.where(np.isinf(hi), lo,
+                              lo + rng.uniform(size=len(lo)) * (hi - lo))),
+        )
+        y = np.where(both_missing, np.nan, y)
+        df[name] = y
+        df[f"{name}_l"] = lo
+        df[f"{name}_u"] = hi
+
+
+def _detect_binary_traits(model: Model, df: pd.DataFrame) -> None:
+    """Flag 2-category traits as binary and validate category coding
+    (check_pedigree_genotypes_phenotypes, input_data_validation.jl:258-274)."""
+    for ti, tt in enumerate(model.traits_type):
+        if tt != "categorical":
+            continue
+        name = model.lhs_vec[ti]
+        vals = pd.to_numeric(df[name], errors="coerce").dropna().astype(int)
+        cats = sorted(set(int(v) for v in vals if v != 0))
+        if cats != list(range(1, len(cats) + 1)):
+            raise ValueError(
+                f"categorical trait {name} must use categories 1..K; got {cats}"
+            )
+        if len(cats) == 2:
+            model.traits_type[ti] = "categorical(binary)"
+
+
 def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Workspace:
     """Full setup pipeline; mirrors runMCMC steps 1-9 (JWAS.jl:272-459)."""
     t = model.n_models
     df = df.copy()
     id_col = df.columns[0]
     df[id_col] = [str(x).strip() for x in df[id_col]]
+    _add_censored_trait_columns(model, df)
+    _detect_binary_traits(model, df)
 
     if opts.pedigree is not None and model.ped is None:
         model.ped = opts.pedigree

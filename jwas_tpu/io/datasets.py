@@ -86,6 +86,58 @@ def simulate_genomic_data(
     }
 
 
+def simulate_genomic_data_mt(
+    n: int = 500,
+    p: int = 400,
+    n_qtl: int = 30,
+    h2=(0.5, 0.3),
+    rg: float = 0.6,
+    re: float = 0.2,
+    seed: int = 42,
+    missing_frac: float = 0.0,
+) -> Dict[str, object]:
+    """Simulate two correlated traits with shared QTL.
+
+    rg: genetic correlation of QTL effects; re: residual correlation.
+    missing_frac: fraction of trait-2 phenotypes set to missing.
+    """
+    rng = np.random.default_rng(seed)
+    freqs = rng.uniform(0.05, 0.95, size=p)
+    X = rng.binomial(2, freqs[None, :], size=(n, p)).astype(np.float32)
+    Xc = X - X.mean(axis=0)
+    qtl = rng.choice(p, size=n_qtl, replace=False)
+    G_eff = np.array([[1.0, rg], [rg, 1.0]])
+    eff = rng.multivariate_normal(np.zeros(2), G_eff, size=n_qtl)
+    effects = np.zeros((p, 2))
+    effects[qtl] = eff
+    bv = Xc @ effects                          # (n, 2)
+    var_g = bv.var(axis=0)
+    var_e = var_g * (1 - np.asarray(h2)) / np.asarray(h2)
+    Re = np.array(
+        [
+            [var_e[0], re * np.sqrt(var_e[0] * var_e[1])],
+            [re * np.sqrt(var_e[0] * var_e[1]), var_e[1]],
+        ]
+    )
+    err = rng.multivariate_normal(np.zeros(2), Re, size=n)
+    y = np.array([5.0, -2.0])[None, :] + bv + err
+    ids = [f"ind{i+1}" for i in range(n)]
+    pheno = pd.DataFrame({"ID": ids, "y1": y[:, 0], "y2": y[:, 1]})
+    if missing_frac > 0:
+        miss = rng.uniform(size=n) < missing_frac
+        pheno.loc[miss, "y2"] = np.nan
+    geno = pd.DataFrame(X, columns=[f"m{j+1}" for j in range(p)])
+    geno.insert(0, "ID", ids)
+    return {
+        "phenotypes": pheno,
+        "genotypes": geno,
+        "true_bv": bv,
+        "effects": effects,
+        "Re": Re,
+        "qtl": qtl,
+    }
+
+
 def dataset(name: str, dataset_name: Optional[str] = None):
     """Return a demo dataset table, or a path to it on disk.
 

@@ -80,6 +80,7 @@ class Genotypes:
     n_traits: int = 1
     trait_names: List[str] = field(default_factory=list)
     starting_alpha: Optional[np.ndarray] = None
+    multi_trait_sampler: str = "I"   # "I" | "II" (MTBayesABC.jl:20-25)
 
     # int8 storage: genotypes holds centered floats unless raw_int8 is set, in
     # which case raw_int8 (n, p) + col_means reproduce X = raw - col_means.
@@ -124,6 +125,7 @@ class Genotypes:
             raw_int8=None if self.raw_int8 is None else self.raw_int8[rows],
             col_means=self.col_means,
             annotations=self.annotations,
+            multi_trait_sampler=self.multi_trait_sampler,
         )
         return out
 
@@ -177,6 +179,7 @@ def get_genotypes(
     annotations=None,
     storage: str = "f32",
     name: str = "geno",
+    multi_trait_sampler: str = "I",
 ) -> Genotypes:
     """Load genotypes and apply QC (reference readgenotypes.jl:213-448).
 
@@ -322,6 +325,7 @@ def get_genotypes(
         raw_int8=raw_int8,
         col_means=np.asarray(col_means, dtype=np.float64),
         annotations=annotations,
+        multi_trait_sampler=multi_trait_sampler,
     )
     if starting_value is not None:
         g.starting_alpha = np.asarray(starting_value, dtype=dtype)

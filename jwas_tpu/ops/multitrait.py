@@ -149,7 +149,7 @@ def mt_abc_blocks_I(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
     valid_b = md.valid.reshape(nblocks, b).T
 
     w_r = ycorr if rinv is None else ycorr * rinv[None, :]
-    rhs0 = jnp.einsum("np,tn->ptp"[0:0] + "np,tn->tp", md.X, w_r)  # (t, p_pad)
+    rhs0 = jnp.einsum("np,tn->tp", md.X, w_r)                  # (t, p_pad)
     rhs0 = rhs0.reshape(t, nblocks, b).transpose(2, 0, 1)      # (b, t, nblocks)
 
     def to_j(x):  # (t, p_pad) -> (b, t, nblocks)

@@ -1,0 +1,85 @@
+"""End-to-end multi-trait runMCMC tests on simulated 2-trait data."""
+
+import numpy as np
+import pytest
+
+from jwas_tpu import build_model, get_genotypes, runMCMC
+from jwas_tpu.io.datasets import simulate_genomic_data_mt
+
+SIM = simulate_genomic_data_mt(n=400, p=250, n_qtl=25, h2=(0.5, 0.4), rg=0.7,
+                               re=0.2, seed=21)
+
+
+def _run(method, chain_length=600, constraint=False, missing_frac=0.0,
+         mt_sampler="I", fast_blocks=False, **kw):
+    sim = SIM if missing_frac == 0.0 else simulate_genomic_data_mt(
+        n=400, p=250, n_qtl=25, h2=(0.5, 0.4), rg=0.7, re=0.2, seed=21,
+        missing_frac=missing_frac,
+    )
+    geno = get_genotypes(
+        sim["genotypes"], method=method, name="geno", constraint=constraint,
+        multi_trait_sampler=mt_sampler,
+    )
+    model = build_model("y1 = intercept + geno\ny2 = intercept + geno",
+                        genotypes=geno)
+    out = runMCMC(
+        model, sim["phenotypes"], chain_length=chain_length,
+        burnin=chain_length // 5,
+        output_samples_frequency=max(1, chain_length // 100),
+        seed=11, fast_blocks=fast_blocks, output_folder="", **kw,
+    )
+    return out, sim
+
+
+def _acc(out, sim, trait_i):
+    ebv = out[f"EBV_y{trait_i+1}"].set_index("ID")["EBV"]
+    ids = [f"ind{i+1}" for i in range(sim["true_bv"].shape[0])]
+    return np.corrcoef(ebv.loc[ids].to_numpy(), sim["true_bv"][:, trait_i])[0, 1]
+
+
+@pytest.mark.parametrize("method", ["BayesC", "RR-BLUP", "BayesL"])
+def test_mt_methods_recover_bv(method):
+    out, sim = _run(method)
+    a1, a2 = _acc(out, sim, 0), _acc(out, sim, 1)
+    assert a1 > 0.5 and a2 > 0.4, (method, a1, a2)
+    rv = out["residual variance"].set_index("Covariance")["Estimate"]
+    assert rv["y1_y1"] > 0
+
+
+def test_mt_bayesc_samplerII():
+    out, sim = _run("BayesC", mt_sampler="II", chain_length=400)
+    assert _acc(out, sim, 0) > 0.5
+
+
+def test_mt_mega_trait_constraint():
+    out, sim = _run("BayesC", constraint=True)
+    assert _acc(out, sim, 0) > 0.5
+    # constraint pi is per trait
+    assert len(out["pi_geno"]) == 2
+
+
+def test_mt_missing_phenotypes():
+    out, sim = _run("BayesC", missing_frac=0.3, chain_length=600)
+    a1, a2 = _acc(out, sim, 0), _acc(out, sim, 1)
+    assert a1 > 0.5, a1
+    assert a2 > 0.3, a2
+
+
+def test_mt_gblup():
+    out, sim = _run("GBLUP", chain_length=400)
+    assert _acc(out, sim, 0) > 0.45
+    gv = out["genetic_variance"].set_index("Covariance")["Estimate"]
+    assert gv["y1_y1"] > 0
+
+
+def test_mt_fast_blocks():
+    out, sim = _run("BayesC", chain_length=1200, fast_blocks=16, nreps=4)
+    assert _acc(out, sim, 0) > 0.5
+
+
+def test_mt_residual_covariance_recovery():
+    out, sim = _run("RR-BLUP", chain_length=800)
+    rv = out["residual variance"].set_index("Covariance")["Estimate"]
+    Re = sim["Re"]
+    assert abs(rv["y1_y2"] - Re[0, 1]) < max(1.0, 0.6 * abs(Re[0, 1]) + 0.5)
+    assert 0.3 * Re[0, 0] < rv["y1_y1"] < 3.0 * Re[0, 0]
