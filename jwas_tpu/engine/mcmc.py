@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,9 @@ class STData(NamedTuple):
     vc_scale: Tuple[jnp.ndarray, ...]  # per RE group (k,k)
     out_geno: jnp.ndarray     # (n_out, p) or (0, 0)
     out_W: jnp.ndarray        # (n_out, K) prediction-equation incidence (or zeros)
+    category_obs: Optional[jnp.ndarray] = None  # (n,) int32, 0 = missing
+    cens_lower: Optional[jnp.ndarray] = None    # (n,) censored lower bounds
+    cens_upper: Optional[jnp.ndarray] = None    # (n,)
 
 
 def _assemble_lhs(cfg: EngineCfg, data: STData, vc, vare):
@@ -89,16 +92,53 @@ def _assemble_lhs(cfg: EngineCfg, data: STData, vc, vare):
 def make_st_step(cfg: EngineCfg):
     """Build the jitted one-iteration Gibbs step for a single-trait chain."""
 
+    trait_type = cfg.trait_types[0] if cfg.trait_types else "continuous"
+    is_latent = trait_type in ("categorical", "categorical(binary)", "censored")
+    n_cat = cfg.cat_counts[0] if cfg.cat_counts else 0
+
     def step(state: ChainState, data: STData) -> ChainState:
-        key, k_loc, k_mark, k_pi, k_var, k_gam, k_scale, k_res, *k_vc = jax.random.split(
-            state.key, 8 + len(cfg.re_groups)
+        key, k_loc, k_mark, k_pi, k_var, k_gam, k_scale, k_res, k_liab, k_thr, *k_vc = (
+            jax.random.split(state.key, 10 + len(cfg.re_groups))
         )
         dtype = state.ycorr.dtype
         rinv = data.rinv if cfg.has_weights else None
 
+        # 0. latent liabilities for categorical/binary/censored traits
+        # (sample_liabilities! + categorical_trait_sample_threshold!,
+        # categorical_and_censored_trait.jl:127-210)
+        ycorr0 = state.ycorr
+        liab = state.liab
+        thresholds = state.thresholds
+        if is_latent:
+            from jwas_tpu.ops.threshold import (
+                BIG,
+                bounds_from_thresholds,
+                sample_thresholds_t,
+            )
+
+            if trait_type == "censored":
+                lb, ub = data.cens_lower, data.cens_upper
+            else:
+                lb, ub = bounds_from_thresholds(thresholds, data.category_obs)
+            cmean = liab - ycorr0
+            eps_lb = lb - cmean
+            eps_ub = ub - cmean
+            fixed = eps_lb >= eps_ub
+            std = jnp.sqrt(state.vare)
+            a = jnp.clip(jnp.where(fixed, -1.0, eps_lb) / std, -BIG, BIG)
+            b_ = jnp.clip(jnp.where(fixed, 1.0, eps_ub) / std, -BIG, BIG)
+            z = jax.random.truncated_normal(k_liab, a, b_, shape=cmean.shape, dtype=dtype)
+            eps = jnp.where(fixed, ycorr0, std * z)
+            liab = cmean + eps
+            ycorr0 = eps
+            if trait_type == "categorical" and n_cat > 2:
+                thresholds = sample_thresholds_t(
+                    k_thr, thresholds, liab, data.category_obs, n_cat, start_index=2
+                )
+
         # 1. location parameters (MCMC_BayesianAlphabet.jl:196-220)
         LHS = _assemble_lhs(cfg, data, state.vc, state.vare)
-        ycorr = state.ycorr + data.W @ state.sol
+        ycorr = ycorr0 + data.W @ state.sol
         w = ycorr if rinv is None else rinv * ycorr
         rhs = data.W.T @ w
         sol = gibbs_pass_lambda(LHS, state.sol, rhs, state.vare, k_loc)
@@ -232,7 +272,7 @@ def make_st_step(cfg: EngineCfg):
         return ChainState(
             key=key, sol=sol, alpha=alpha, beta=beta, delta=delta,
             gamma_l=gamma_l, ycorr=ycorr, vare=vare, varg=varg, pi=pi,
-            scale_g=scale_g, vc=vc,
+            scale_g=scale_g, vc=vc, liab=liab, thresholds=thresholds,
         )
 
     return step
@@ -453,7 +493,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         else jnp.zeros((0, max(p, 1)), dtype)
     )
 
-    data = STData(
+    data_fields = dict(
         W=W, WtRinvW=WtRinvW, rinv=rinv, y=y, X=X, xpx=xpx, grams=grams,
         valid=valid, Vinv=tuple(Vinvs), vc_scale=tuple(vc_scales),
         out_geno=out_geno, out_W=jnp.asarray(out_W, dtype),
@@ -461,6 +501,54 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
 
     g = ws.geno
     estimate_pi = bool(g.estimate_pi) if g is not None else False
+    trait_type = model.traits_type[0]
+    is_latent = trait_type in ("categorical", "categorical(binary)", "censored")
+
+    # latent-trait data: categories / censoring bounds (setup!, cat_cens.jl:29-95)
+    category_obs = None
+    cens_lower = cens_upper = None
+    n_cat = 0
+    thresholds0 = None
+    liab0 = None
+    if is_latent:
+        from jwas_tpu.ops.threshold import BIG
+
+        rng0 = np.random.default_rng(opts.seed if opts.seed is not None else 0)
+        if trait_type in ("categorical", "categorical(binary)"):
+            cats = np.asarray(np.nan_to_num(ws.y[:n]), dtype=np.int64)
+            category_obs = jnp.asarray(cats, jnp.int32)
+            n_cat = int(cats.max())
+            if trait_type == "categorical":
+                # [-BIG, 0, .. range(0,1) .., BIG] (cat_cens.jl:57-58)
+                inner = np.linspace(0, 1, n_cat)[:-1]
+                th = np.concatenate([[-BIG], inner, [BIG]])
+            else:
+                th = np.array([-BIG, 0.0, BIG])
+            thresholds0 = jnp.asarray(th, dtype)
+            lb = np.where(cats > 0, th[np.maximum(cats - 1, 0)], -BIG)
+            ub = np.where(cats > 0, th[np.minimum(cats, len(th) - 1)], BIG)
+        else:
+            id_cols = ws.df
+            lb = pd.to_numeric(id_cols[f"{model.lhs_vec[0]}_l"], errors="coerce").to_numpy()
+            ub = pd.to_numeric(id_cols[f"{model.lhs_vec[0]}_u"], errors="coerce").to_numpy()
+            lb = np.clip(np.nan_to_num(lb, nan=-np.inf), -BIG, BIG)
+            ub = np.clip(np.nan_to_num(ub, nan=np.inf), -BIG, BIG)
+            cens_lower = jnp.asarray(lb, dtype)
+            cens_upper = jnp.asarray(ub, dtype)
+        # initial liability ~ TruncNormal(0, sqrt(vare)) in the bounds
+        s0 = np.sqrt(float(ws.vare0))
+        from scipy.stats import truncnorm
+
+        a = np.clip(lb / s0, -30, 30)
+        b = np.clip(ub / s0, -30, 30)
+        liab_np = np.where(
+            lb < ub,
+            truncnorm.rvs(a, np.maximum(b, a + 1e-6), scale=s0,
+                          random_state=rng0, size=n),
+            lb,
+        )
+        liab0 = jnp.asarray(liab_np, dtype)
+
     cfg = STEngineCfg(
         method=method,
         n_obs=n,
@@ -469,14 +557,21 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         estimate_pi=estimate_pi,
         estimate_marker_variance=bool(g.G.estimate_variance) if g is not None else False,
         estimate_scale=bool(g.G.estimate_scale) if g is not None else False,
-        estimate_residual_variance=bool(model.R.estimate_variance),
+        estimate_residual_variance=bool(model.R.estimate_variance)
+        and trait_type not in ("categorical", "categorical(binary)"),
         use_blocks=use_blocks,
         nreps=nreps,
         re_groups=tuple(re_cfgs),
         df_residual=float(ws.df_R),
         df_marker=float(ws.df_marker),
         has_weights=ws.rinv is not None,
+        trait_types=tuple(model.traits_type),
+        cat_counts=(n_cat,),
         scale_R=float(ws.scale_R),
+    )
+    data = STData(
+        **data_fields,
+        category_obs=category_obs, cens_lower=cens_lower, cens_upper=cens_upper,
     )
 
     # --- initial state ---
@@ -504,7 +599,8 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         marker_var0 = None if ws.marker_var0 is None else ws.marker_var0
         marker_scale0 = None if ws.marker_scale0 is None else ws.marker_scale0
 
-    ycorr = y - W @ sol
+    y_base = liab0 if liab0 is not None else y
+    ycorr = y_base - W @ sol
     if method == "GBLUP":
         ycorr = ycorr - X @ alpha
     elif p > 0:
@@ -540,7 +636,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     state = ChainState(
         key=key, sol=sol, alpha=alpha, beta=beta, delta=delta, gamma_l=gamma_l,
         ycorr=ycorr, vare=jnp.asarray(float(ws.vare0), dtype), varg=varg, pi=pi,
-        scale_g=scale_g, vc=tuple(vc0),
+        scale_g=scale_g, vc=tuple(vc0), liab=liab0, thresholds=thresholds0,
     )
     return cfg, data, state
 

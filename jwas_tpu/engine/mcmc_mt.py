@@ -60,6 +60,9 @@ class MTData(NamedTuple):
     pattern_idx: jnp.ndarray   # (n,) int32
     scale_R: jnp.ndarray       # (t, t)
     marker_scale: jnp.ndarray  # (t, t)
+    category_obs: jnp.ndarray = None   # (t, n) int32 (0 = missing)
+    cens_lower: jnp.ndarray = None     # (t, n)
+    cens_upper: jnp.ndarray = None     # (t, n)
 
 
 @dataclass(frozen=True)
@@ -67,6 +70,8 @@ class MTEngineCfg(EngineCfg):
     pattern_rows: Tuple[Tuple[int, ...], ...] = ()   # static row sets per pattern
     pattern_masks: Tuple[Tuple[bool, ...], ...] = ()
     r_constraint: bool = False     # diagonal residual covariance (R.constraint)
+    latent_traits: Tuple[int, ...] = ()   # traits with liabilities
+    binary_traits: Tuple[int, ...] = ()   # residual variance pinned at 1
 
 
 def _pattern_Ri(patterns, R, rinv):
@@ -96,6 +101,44 @@ def make_mt_step(cfg: MTEngineCfg):
 
         R = state.R
         ycorr = state.ycorr
+
+        # ------- 0. latent liabilities + thresholds (cat_cens.jl:127-210) ----
+        liab = state.liab
+        thresholds = state.thresholds
+        if cfg.latent_traits:
+            from jwas_tpu.ops.threshold import (
+                BIG,
+                bounds_from_thresholds,
+                sample_liabilities,
+                sample_thresholds_t,
+            )
+
+            lower = jnp.full((t, n), -BIG, dtype)
+            upper = jnp.full((t, n), BIG, dtype)
+            for ti in cfg.latent_traits:
+                tt = cfg.trait_types[ti]
+                if tt == "censored":
+                    lower = lower.at[ti].set(data.cens_lower[ti])
+                    upper = upper.at[ti].set(data.cens_upper[ti])
+                else:
+                    lb, ub = bounds_from_thresholds(thresholds[ti], data.category_obs[ti])
+                    lower = lower.at[ti].set(lb)
+                    upper = upper.at[ti].set(ub)
+            n_gibbs = 5 if len(cfg.latent_traits) > 1 else 1
+            liab_lat, ycorr = sample_liabilities(
+                k_sc, liab, ycorr, R, lower, upper, cfg.latent_traits, n_gibbs
+            )
+            liab = liab_lat
+            kth = jax.random.split(k_meg, t)
+            for ti in cfg.latent_traits:
+                if cfg.trait_types[ti] == "categorical" and cfg.cat_counts[ti] > 2:
+                    start = 2 if t == 1 else 3
+                    thresholds = thresholds.at[ti].set(
+                        sample_thresholds_t(
+                            kth[ti], thresholds[ti], liab[ti],
+                            data.category_obs[ti], cfg.cat_counts[ti], start,
+                        )
+                    )
 
         # ------- residual precision from the current R (mkRi) -------
         Ri_pat = _pattern_Ri(data.patterns, R, rinv)           # (P, t, t)
@@ -293,6 +336,16 @@ def make_mt_step(cfg: MTEngineCfg):
                 chi = sample_chi2(k_res, jnp.full((t,), cfg.n_obs + cfg.df_residual))
                 diag = (jnp.diagonal(SSE) + cfg.df_residual * jnp.diagonal(data.scale_R)) / chi
                 R = jnp.diag(diag).astype(dtype)
+            elif cfg.binary_traits:
+                from jwas_tpu.ops.threshold import (
+                    sample_conditional_inv_wishart_korsgaard,
+                )
+
+                prec = jnp.linalg.inv(data.scale_R + SSE)
+                prec = 0.5 * (prec + prec.T)
+                R = sample_conditional_inv_wishart_korsgaard(
+                    k_res, cfg.df_residual + cfg.n_obs, prec, cfg.binary_traits, t
+                ).astype(dtype)
             else:
                 R = sample_inv_wishart(
                     k_res, cfg.df_residual + cfg.n_obs, data.scale_R + SSE
@@ -301,7 +354,7 @@ def make_mt_step(cfg: MTEngineCfg):
         return MTChainState(
             key=key, sol=sol, alpha=alpha, beta=beta, delta=delta,
             gamma_l=gamma_l, ycorr=ycorr, R=R, varg=varg, pi=pi, vc=vc,
-            liab=state.liab, thresholds=state.thresholds, Lambda=state.Lambda,
+            liab=liab, thresholds=thresholds, Lambda=state.Lambda,
         )
 
     return step
@@ -506,6 +559,78 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
     if g is not None and getattr(g, "multi_trait_sampler", "I") in ("I", "II"):
         mt_sampler = getattr(g, "multi_trait_sampler", "I")
 
+    # --- latent (categorical/binary/censored) trait setup (reference
+    # categorical_censored_traits_setup!, categorical_and_censored_trait.jl:29-95)
+    from jwas_tpu.ops.threshold import BIG
+
+    trait_types = tuple(model.traits_type)
+    latent_traits = tuple(
+        i for i, tt in enumerate(trait_types)
+        if tt in ("categorical", "categorical(binary)", "censored")
+    )
+    binary_traits = tuple(
+        i for i, tt in enumerate(trait_types) if tt == "categorical(binary)"
+    )
+    cat_counts = [0] * t
+    category_np = np.zeros((t, n), np.int32)
+    cl_np = np.full((t, n), -BIG)
+    cu_np = np.full((t, n), BIG)
+    y_np = ws.y.reshape(t, n)
+    R0 = np.atleast_2d(np.asarray(ws.vare0, dtype=np.float64))
+    thresholds0 = liab0 = None
+    if latent_traits:
+        from scipy.stats import truncnorm
+
+        rng0 = np.random.default_rng((opts.seed if opts.seed is not None else 0) + 7)
+        th_rows = {}
+        for ti in latent_traits:
+            tt2 = trait_types[ti]
+            if tt2 in ("categorical", "categorical(binary)"):
+                cats = np.where(y_mask[ti], np.nan_to_num(y_np[ti]), 0.0).astype(np.int64)
+                category_np[ti] = cats
+                ncat = int(cats.max())
+                cat_counts[ti] = ncat
+                if tt2 == "categorical":
+                    # [-Inf, 0, 1, range(1, mu+10s)..., Inf]; mu=0 at zero start
+                    stop = 10.0 * float(R0[ti, ti])
+                    inner = np.linspace(1.0, max(stop, 2.0), ncat - 1)[:-1]
+                    th = np.concatenate([[-BIG, 0.0], inner, [BIG]])
+                else:
+                    th = np.array([-BIG, 0.0, BIG])
+                th_rows[ti] = th
+                cl_np[ti] = np.where(cats > 0, th[np.maximum(cats - 1, 0)], -BIG)
+                cu_np[ti] = np.where(cats > 0, th[np.minimum(cats, len(th) - 1)], BIG)
+            else:  # censored: bounds columns synthesized in prepare_workspace
+                name = model.lhs_vec[ti]
+                lo = pd.to_numeric(ws.df[f"{name}_l"], errors="coerce").to_numpy()
+                hi = pd.to_numeric(ws.df[f"{name}_u"], errors="coerce").to_numpy()
+                cl_np[ti] = np.clip(np.nan_to_num(lo, nan=-np.inf), -BIG, BIG)
+                cu_np[ti] = np.clip(np.nan_to_num(hi, nan=np.inf), -BIG, BIG)
+        t_max = max(3, max((cat_counts[ti] + 1 for ti in latent_traits), default=3))
+        th_np = np.full((t, t_max), BIG)
+        for ti, th in th_rows.items():
+            th_np[ti, : len(th)] = th
+        thresholds0 = jnp.asarray(th_np, dtype)
+        # liability init ~ TruncNormal(0, sqrt(R_tt)) within the bounds (:82-88)
+        liab_np = y_np.astype(np.float64).copy()
+        liab_np[~y_mask.reshape(t, n)] = 0.0
+        for ti in latent_traits:
+            s0 = np.sqrt(float(R0[ti, ti]))
+            a = np.clip(cl_np[ti] / s0, -30, 30)
+            b = np.clip(cu_np[ti] / s0, -30, 30)
+            liab_np[ti] = np.where(
+                cl_np[ti] < cu_np[ti],
+                truncnorm.rvs(a, np.maximum(b, a + 1e-6), scale=s0,
+                              random_state=rng0, size=n),
+                cl_np[ti],
+            )
+        liab0 = jnp.asarray(liab_np, dtype)
+    if len(binary_traits) == t and bool(model.R.estimate_variance):
+        raise ValueError(
+            "all traits binary: residual covariance cannot be estimated; "
+            "set R estimate_variance=false"
+        )
+
     cfg = MTEngineCfg(
         method=method, n_obs=n, n_markers=p, n_loc=K,
         estimate_pi=bool(g.estimate_pi) if g is not None else False,
@@ -518,9 +643,11 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         constraint=constraint,
         missing_phenotypes=bool(opts.missing_phenotypes) and len(pattern_masks) > 1,
         mt_sampler=mt_sampler,
-        trait_types=tuple(model.traits_type),
+        trait_types=trait_types,
+        cat_counts=tuple(cat_counts),
         pattern_rows=pattern_rows, pattern_masks=pattern_masks,
         r_constraint=R_constraint,
+        latent_traits=latent_traits, binary_traits=binary_traits,
     )
 
     data = MTData(
@@ -530,6 +657,9 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         patterns=patterns, pattern_idx=jnp.asarray(pat_idx, jnp.int32),
         scale_R=jnp.asarray(scale_R0, dtype),
         marker_scale=jnp.asarray(marker_scale0, dtype),
+        category_obs=jnp.asarray(category_np),
+        cens_lower=jnp.asarray(cl_np, dtype),
+        cens_upper=jnp.asarray(cu_np, dtype),
     )
 
     seed = opts.seed if opts.seed is not None else 0
@@ -551,9 +681,16 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
     else:
         gamma_l = jnp.ones((p_pad,), dtype)
 
-    ycorr = y - jnp.einsum("tnk,k->tn", W3, sol)
+    y_eff = y if liab0 is None else jnp.where(
+        jnp.asarray(np.isin(np.arange(t), latent_traits))[:, None], liab0, y
+    )
+    ycorr = y_eff - jnp.einsum("tnk,k->tn", W3, sol)
     # zero the missing entries so they start as pure imputation targets
-    ycorr = jnp.where(jnp.asarray(y_mask), ycorr, 0.0)
+    # (latent traits carry a liability everywhere, so they stay)
+    keep = np.asarray(y_mask.reshape(t, n))
+    for ti in latent_traits:
+        keep[ti] = True
+    ycorr = jnp.where(jnp.asarray(keep), ycorr, 0.0)
 
     if constraint:
         pi0 = jnp.zeros((t,), dtype)
@@ -568,7 +705,8 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         R=jnp.asarray(np.atleast_2d(ws.vare0), dtype),
         varg=jnp.asarray(marker_var0, dtype),
         pi=pi0, vc=tuple(vc0),
-        liab=jnp.zeros((0,), dtype), thresholds=jnp.zeros((0,), dtype),
+        liab=liab0 if liab0 is not None else jnp.zeros((0,), dtype),
+        thresholds=thresholds0 if thresholds0 is not None else jnp.zeros((0,), dtype),
         Lambda=jnp.zeros((0,), dtype),
     )
     return cfg, data, state

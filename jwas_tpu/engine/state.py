@@ -31,6 +31,8 @@ class ChainState(NamedTuple):
     pi: jnp.ndarray           # (p_pad,) P(excluded) for ABC; (4,) for BayesR; (0,)
     scale_g: jnp.ndarray      # scalar prior scale of marker variance
     vc: Tuple[jnp.ndarray, ...]  # per random-effect group: (k, k) covariance G0
+    liab: Optional[jnp.ndarray] = None        # (n,) latent liability
+    thresholds: Optional[jnp.ndarray] = None  # (n_cat+1,) category thresholds
 
 
 class MTChainState(NamedTuple):
@@ -87,3 +89,4 @@ class EngineCfg:
     mt_sampler: str = "I"      # multi-trait BayesC Gibbs sampler variant
     trait_types: Tuple[str, ...] = ()   # "continuous"|"categorical"|"categorical(binary)"|"censored"
     has_sem: bool = False
+    cat_counts: Tuple[int, ...] = ()    # categories per trait (0 = not categorical)
