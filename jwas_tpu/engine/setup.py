@@ -48,6 +48,7 @@ class MCMCOptions:
     missing_phenotypes: bool = True
     constraint: bool = False
     single_step_analysis: bool = False
+    fitting_J_vector: bool = True       # SSBR centering covariate (SSBR.jl:24)
     pedigree: object = None
     causal_structure: object = None
     update_priors_frequency: int = 0
@@ -309,7 +310,10 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
     output_ids = model.output_ids
     if opts.outputEBV or opts.output_heritability:
         if output_ids is None:
-            if model.M:
+            if model.M and opts.single_step_analysis and opts.output_heritability:
+                # single-step h2: EBVs for every pedigree member (:170-174)
+                output_ids = list(model.ped.ids)
+            elif model.M:
                 output_ids = list(model.M[0].obs_ids)
             elif model.ped is not None:
                 output_ids = list(model.ped.ids)
@@ -318,6 +322,9 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
         if model.M and not opts.single_step_analysis:
             geno_ids = set(model.M[0].obs_ids)
             output_ids = [s for s in output_ids if s in geno_ids]
+        elif model.ped is not None:
+            ped_ids = set(model.ped.ids)
+            output_ids = [s for s in output_ids if s in ped_ids]
     else:
         output_ids = []
 
@@ -340,6 +347,13 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
     # --- priors from data (before splitting off the training view) ---
     varg_default = _default_priors(model, df_whole.iloc[train_rows])
     del varg_default
+
+    # --- single-step: impute genotypes, add J + imputation-residual terms ---
+    if opts.single_step_analysis:
+        from jwas_tpu.engine.single_step import ssbr_setup
+
+        ssbr_setup(model, df_whole, opts)
+
     set_marker_hyperparameters(model)
 
     # --- design matrices over the whole frame; then restrict to train rows ---

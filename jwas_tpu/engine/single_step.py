@@ -1,0 +1,185 @@
+"""Single-step Bayesian regression (SSBR): incomplete genomic data.
+
+From-scratch equivalent of the reference single-step layer (reference:
+src/1.JWAS/src/single_step/SSBR.jl and src/2.PedModule/src/forSSBR.jl):
+
+- reorder the pedigree A-inverse to [non-genotyped; genotyped] blocks
+  (genoSet!, forSSBR.jl:28-55);
+- impute genotypes of non-genotyped individuals from their genotyped
+  relatives, M_n = A_nn^-1 (-A_ng M_g), solved with one sparse factorization
+  applied to marker chunks (impute_genotypes, SSBR.jl:83-142);
+- add the J centering covariate, J_n = A_nn^-1 (-A_ng J_g) with J_g = -1
+  (make_JVecs, SSBR.jl:146-159);
+- add the per-trait imputation-residual random term ("eps") with
+  Vinv = A_nn and variance equal to the total genetic variance
+  (SSBRrun, SSBR.jl:8-54).
+
+After this setup the ordinary complete-data MCMC engine runs unchanged on the
+augmented model: every phenotyped individual has (imputed) marker covariates,
+and the extra J + eps effects absorb imputation bias and error.
+
+TPU note: the imputation solve is a host-side sparse direct solve (SciPy
+splu) done once before compilation; the imputed dense marker matrix then
+follows the standard device path (blocked Gibbs sweeps on the MXU).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+import scipy.sparse as sp
+from scipy.sparse.linalg import splu
+
+from jwas_tpu.models.model import Model, ModelTerm, set_covariate, set_random
+
+EPS_NAME = "ϵ"
+_MARKERS_PER_CHUNK = 1000
+
+
+def _partitioned_a_inverse(model: Model):
+    """A-inverse with rows/cols ordered [non-genotyped; genotyped].
+
+    Returns (Ai_nn, Ai_ng, nongeno_ids, geno_ids) where the ID lists keep the
+    pedigree's topological order within each partition (the reference's set
+    iteration order is arbitrary; ours is deterministic).
+    """
+    ped = model.ped
+    geno_set = set(model.M[0].obs_ids)
+    ped_set = set(ped.ids)
+    missing = [s for s in model.M[0].obs_ids if s not in ped_set]
+    if missing:
+        raise ValueError(
+            "not all genotyped individuals are in the pedigree "
+            f"(e.g. {missing[:5]}); single-step requires genotyped ⊆ pedigree"
+        )
+    nongeno_ids = [s for s in ped.ids if s not in geno_set]
+    geno_ids = [s for s in ped.ids if s in geno_set]
+    ped.set_nongenotyped = set(nongeno_ids)
+    ped.set_genotyped = set(geno_ids)
+
+    Ai = ped.a_inverse()
+    perm = np.array(
+        [ped.id_index[s] for s in nongeno_ids + geno_ids], dtype=np.int64
+    )
+    Ai_perm = Ai[perm][:, perm].tocsc()
+    nn = len(nongeno_ids)
+    Ai_nn = Ai_perm[:nn, :nn].tocsc()
+    Ai_ng = Ai_perm[:nn, nn:].tocsc()
+    return Ai_nn, Ai_ng, nongeno_ids, geno_ids
+
+
+def _impute_genotypes(geno, lu, Ai_ng, geno_ids):
+    """Imputed marker matrix over [non-genotyped; genotyped] pedigree rows
+    (SSBR.jl:83-142).
+
+    M_n = A_nn^-1 (-A_ng M_g) chunked over markers; genotyped rows keep their
+    observed (centered) values.
+    """
+    index = {s: i for i, s in enumerate(geno.obs_ids)}
+    rows = np.array([index[s] for s in geno_ids], dtype=np.int64)
+    Mg = np.asarray(geno.genotypes)[rows]
+    nn = Ai_ng.shape[0]
+    p = Mg.shape[1]
+    dtype = Mg.dtype
+    M_ped = np.empty((nn + len(geno_ids), p), dtype=dtype)
+    M_ped[nn:] = Mg
+    for c0 in range(0, p, _MARKERS_PER_CHUNK):
+        c1 = min(c0 + _MARKERS_PER_CHUNK, p)
+        rhs = -(Ai_ng @ Mg[:, c0:c1].astype(np.float64))
+        M_ped[:nn, c0:c1] = lu.solve(rhs).astype(dtype)
+    return M_ped
+
+
+def _add_term(model: Model, name: str) -> List[str]:
+    """Append one ModelTerm per trait (add_term, SSBR.jl:164-170)."""
+    added = []
+    for m, lhs in enumerate(model.lhs_vec):
+        term = ModelTerm(
+            trm_str=f"{lhs}:{name}",
+            i_model=m,
+            trait_name=lhs,
+            factors=[name],
+        )
+        model.terms.append(term)
+        model.term_dict[term.trm_str] = term
+        added.append(term.trm_str)
+    return added
+
+
+def ssbr_setup(model: Model, df_whole: pd.DataFrame, opts) -> None:
+    """Run the single-step transformation in place (SSBRrun, SSBR.jl:8-54).
+
+    Mutates `model` (adds J/eps terms + the eps random effect, replaces each
+    marker set with its pedigree-imputed version) and `df_whole` (adds the J
+    covariate and eps level columns). Must run after the whole-data frame is
+    assembled (so output-only individuals get J/eps values too) and before
+    design matrices are built.
+    """
+    if model.ped is None:
+        raise ValueError("single-step analysis requires a pedigree")
+    if not model.M:
+        raise ValueError("single-step analysis requires genotypes")
+    for g in model.M:
+        if g.method == "GBLUP":
+            raise ValueError("SSGBLUP is not supported; use SSBR with marker methods")
+        if g.genetic_variance.val is None:
+            raise ValueError(
+                "single-step requires the genetic variance: "
+                "get_genotypes(..., G) with G_is_marker_variance=False"
+            )
+
+    id_col = df_whole.columns[0]
+    ids = [str(x) for x in df_whole[id_col]]
+    ped_set = set(model.ped.ids)
+    not_in_ped = [s for s in ids if s not in ped_set]
+    if not_in_ped:
+        raise ValueError(
+            f"{len(not_in_ped)} phenotyped/output individuals are not in the "
+            f"pedigree (e.g. {not_in_ped[:5]})"
+        )
+
+    Ai_nn, Ai_ng, nongeno_ids, geno_ids = _partitioned_a_inverse(model)
+    lu = splu(Ai_nn.tocsc())
+    ped_order = nongeno_ids + geno_ids
+    row_of = {s: i for i, s in enumerate(ped_order)}
+    rows = np.array([row_of[s] for s in ids], dtype=np.int64)
+
+    # --- impute each marker set to all df_whole individuals ---
+    for g in model.M:
+        M_ped = _impute_genotypes(g, lu, Ai_ng, geno_ids)
+        g.genotypes = M_ped[rows]
+        g.obs_ids = list(ids)
+        g.n_obs = len(ids)
+
+    # --- J centering covariate (make_JVecs, SSBR.jl:146-159) ---
+    fit_j = getattr(opts, "fitting_J_vector", True)
+    if fit_j:
+        Jg = -np.ones(len(geno_ids))
+        Jn = lu.solve(-(Ai_ng @ Jg))
+        J_ped = np.concatenate([Jn, Jg])
+        df_whole["J"] = J_ped[rows]
+        j_terms = _add_term(model, "J")
+        set_covariate(model, "J")
+
+    # --- eps imputation-residual random term (SSBR.jl:22-39) ---
+    nongeno_set = set(nongeno_ids)
+    df_whole[EPS_NAME] = [s if s in nongeno_set else "missing" for s in ids]
+    eps_terms = _add_term(model, EPS_NAME)
+
+    g_total = np.asarray(model.M[0].genetic_variance.val, dtype=np.float64)
+    for g in model.M[1:]:
+        g_total = g_total + np.asarray(g.genetic_variance.val, dtype=np.float64)
+    set_random(
+        model,
+        EPS_NAME,
+        float(g_total) if g_total.ndim == 0 else g_total,
+        Vinv=Ai_nn,
+        names=nongeno_ids,
+    )
+
+    # EBV prediction equation gains J*sol_J + eps (SSBR.jl:41-53).
+    if fit_j:
+        model.ped_term_vec = list(model.ped_term_vec) + j_terms
+    model.ped_term_vec = list(model.ped_term_vec) + eps_terms

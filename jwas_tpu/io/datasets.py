@@ -138,6 +138,73 @@ def simulate_genomic_data_mt(
     }
 
 
+def simulate_pedigree_genomic_data(
+    n_founders: int = 60,
+    n_gen: int = 3,
+    n_per_gen: int = 120,
+    p: int = 200,
+    n_qtl: int = 20,
+    h2: float = 0.5,
+    seed: int = 11,
+) -> Dict[str, object]:
+    """Simulate a multi-generation pedigree with gene-dropped genotypes.
+
+    Founders draw marker dosages Binomial(2, freq); each offspring receives
+    one allele per parent (Bernoulli(dosage/2), unlinked loci). Used by
+    single-step and pedigree-BLUP tests where family structure must be real.
+
+    Returns 'pedigree' (ID, Sire, Dam), 'genotypes' (all individuals),
+    'phenotypes', 'true_bv', 'ids'.
+    """
+    rng = np.random.default_rng(seed)
+    freqs = rng.uniform(0.1, 0.9, size=p)
+    X = [rng.binomial(2, freqs[None, :], size=(n_founders, p))]
+    ids = [f"f{i+1}" for i in range(n_founders)]
+    sires = ["0"] * n_founders
+    dams = ["0"] * n_founders
+    gen_start = 0
+    gen_ids = list(ids)
+    for g in range(n_gen):
+        prev = gen_ids
+        prev_X = np.concatenate(X)[gen_start : gen_start + len(prev)]
+        males = prev[: len(prev) // 2]
+        females = prev[len(prev) // 2 :]
+        s_idx = rng.integers(0, len(males), n_per_gen)
+        d_idx = rng.integers(0, len(females), n_per_gen)
+        row_of = {s: i for i, s in enumerate(prev)}
+        Xs = prev_X[[row_of[males[i]] for i in s_idx]]
+        Xd = prev_X[[row_of[females[i]] for i in d_idx]]
+        child = rng.binomial(1, Xs / 2.0) + rng.binomial(1, Xd / 2.0)
+        new_ids = [f"g{g+1}_{i+1}" for i in range(n_per_gen)]
+        ids += new_ids
+        sires += [males[i] for i in s_idx]
+        dams += [females[i] for i in d_idx]
+        gen_start += len(prev)
+        gen_ids = new_ids
+        X.append(child)
+    Xall = np.concatenate(X).astype(np.float32)
+    effects = np.zeros(p)
+    qtl = rng.choice(p, size=n_qtl, replace=False)
+    effects[qtl] = rng.normal(0.0, 1.0, size=n_qtl)
+    bv = (Xall - Xall.mean(axis=0)) @ effects
+    var_g = bv.var()
+    var_e = var_g * (1 - h2) / h2 if h2 > 0 else 1.0
+    y = 3.0 + bv + rng.normal(0.0, np.sqrt(var_e), size=len(ids))
+    pedigree = pd.DataFrame({"ID": ids, "Sire": sires, "Dam": dams})
+    geno = pd.DataFrame(Xall, columns=[f"m{j+1}" for j in range(p)])
+    geno.insert(0, "ID", ids)
+    pheno = pd.DataFrame({"ID": ids, "y": y.astype(np.float64)})
+    return {
+        "pedigree": pedigree,
+        "genotypes": geno,
+        "phenotypes": pheno,
+        "true_bv": bv,
+        "ids": ids,
+        "var_g": float(var_g),
+        "qtl_effects": effects,
+    }
+
+
 def dataset(name: str, dataset_name: Optional[str] = None):
     """Return a demo dataset table, or a path to it on disk.
 

@@ -1,0 +1,102 @@
+"""Single-step (SSBR) tests.
+
+Mirrors the reference single-step regression tests (reference:
+test/unit/test_single_step.jl): real short chains on simulated family data
+with a known truth, asserting (a) the imputation algebra M_n = A_nn^-1
+(-A_ng M_g), (b) EBV accuracy for genotyped AND non-genotyped individuals,
+and (c) validation errors.
+"""
+
+import numpy as np
+import pytest
+
+from jwas_tpu import build_model, get_genotypes, get_pedigree, runMCMC
+from jwas_tpu.io.datasets import simulate_pedigree_genomic_data
+
+
+@pytest.fixture(scope="module")
+def famdata():
+    return simulate_pedigree_genomic_data(
+        n_founders=60, n_gen=3, n_per_gen=120, p=200, n_qtl=20, h2=0.5, seed=11
+    )
+
+
+def _run_ssbr(famdata, geno_frac=0.6, seed=21, chain=600, burnin=120):
+    rng = np.random.default_rng(seed)
+    ids = famdata["ids"]
+    genotyped = set(rng.choice(ids, size=int(geno_frac * len(ids)), replace=False))
+    geno_df = famdata["genotypes"]
+    geno_df = geno_df[geno_df["ID"].isin(genotyped)]
+
+    ped = get_pedigree(famdata["pedigree"])
+    geno = get_genotypes(geno_df, method="BayesC", name="geno")
+    model = build_model("y = intercept + geno", genotypes=geno)
+    out = runMCMC(
+        model,
+        famdata["phenotypes"],
+        chain_length=chain,
+        burnin=burnin,
+        seed=3,
+        single_step_analysis=True,
+        pedigree=ped,
+        output_folder="",
+    )
+    return out, genotyped
+
+
+def test_ssbr_imputation_algebra(famdata):
+    """M_n from the solve must equal A_nn^-1 (-A_ng M_g) (SSBR.jl:94)."""
+    from jwas_tpu.engine.single_step import _partitioned_a_inverse
+    from jwas_tpu.models.model import Model
+
+    ped = get_pedigree(famdata["pedigree"])
+    ids = famdata["ids"]
+    genotyped = ids[::2]
+    geno_df = famdata["genotypes"]
+    geno = get_genotypes(geno_df[geno_df["ID"].isin(set(genotyped))],
+                         method="BayesC", name="geno")
+    model = build_model("y = intercept + geno", genotypes=geno)
+    model.ped = ped
+    Ai_nn, Ai_ng, nongeno_ids, geno_ids = _partitioned_a_inverse(model)
+
+    # brute force: A over the permuted order; conditional expectation of
+    # centered dosages given relatives is A_ng' A_nn^-1 ... on the n-side.
+    idx = {s: i for i, s in enumerate(geno.obs_ids)}
+    Mg = geno.genotypes[[idx[s] for s in geno_ids]]
+    Mn = np.linalg.solve(Ai_nn.toarray(), -(Ai_ng.toarray() @ Mg))
+
+    from scipy.sparse.linalg import splu
+    from jwas_tpu.engine.single_step import _impute_genotypes
+
+    lu = splu(Ai_nn.tocsc())
+    M_ped = _impute_genotypes(geno, lu, Ai_ng, geno_ids)
+    np.testing.assert_allclose(M_ped[: len(nongeno_ids)], Mn, rtol=0, atol=5e-4)
+    np.testing.assert_allclose(M_ped[len(nongeno_ids):], Mg, rtol=0, atol=0)
+
+
+def test_ssbr_ebv_accuracy(famdata):
+    out, genotyped = _run_ssbr(famdata)
+    ebv = out["EBV_y"].set_index("ID")["EBV"]
+    ids = famdata["ids"]
+    bv = famdata["true_bv"]
+    acc_all = np.corrcoef(ebv.loc[ids].to_numpy(), bv)[0, 1]
+    non_idx = [i for i, s in enumerate(ids) if s not in genotyped]
+    acc_non = np.corrcoef(
+        ebv.loc[[ids[i] for i in non_idx]].to_numpy(), bv[non_idx]
+    )[0, 1]
+    assert acc_all > 0.55, f"single-step EBV accuracy (all) {acc_all:.3f}"
+    assert acc_non > 0.4, f"single-step EBV accuracy (non-genotyped) {acc_non:.3f}"
+
+
+def test_ssbr_errors():
+    famdata = simulate_pedigree_genomic_data(
+        n_founders=10, n_gen=1, n_per_gen=10, p=20, n_qtl=5, seed=4
+    )
+    ped = get_pedigree(famdata["pedigree"])
+    geno_df = famdata["genotypes"].copy()
+    geno_df.loc[geno_df.index[-1], "ID"] = "stranger"
+    geno = get_genotypes(geno_df, method="BayesC", name="geno", MAF=0.0)
+    model = build_model("y = intercept + geno", genotypes=geno)
+    with pytest.raises(ValueError, match="pedigree"):
+        runMCMC(model, famdata["phenotypes"], chain_length=5,
+                single_step_analysis=True, pedigree=ped, output_folder="")
