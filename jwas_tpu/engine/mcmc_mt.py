@@ -60,6 +60,7 @@ class MTData(NamedTuple):
     pattern_idx: jnp.ndarray   # (n,) int32
     scale_R: jnp.ndarray       # (t, t)
     marker_scale: jnp.ndarray  # (t, t)
+    sem_YY: jnp.ndarray = None         # (t, t) raw-phenotype Gram y y' (SEM)
     category_obs: jnp.ndarray = None   # (t, n) int32 (0 = missing)
     cens_lower: jnp.ndarray = None     # (t, n)
     cens_upper: jnp.ndarray = None     # (t, n)
@@ -72,6 +73,7 @@ class MTEngineCfg(EngineCfg):
     r_constraint: bool = False     # diagonal residual covariance (R.constraint)
     latent_traits: Tuple[int, ...] = ()   # traits with liabilities
     binary_traits: Tuple[int, ...] = ()   # residual variance pinned at 1
+    sem_edges: Tuple[Tuple[int, int], ...] = ()  # causal edges (i <- j), static
 
 
 def _pattern_Ri(patterns, R, rinv):
@@ -92,9 +94,10 @@ def make_mt_step(cfg: MTEngineCfg):
     t = cfg.n_traits
 
     def step(state: MTChainState, data: MTData) -> MTChainState:
-        keys = jax.random.split(state.key, 10 + len(cfg.re_groups))
-        (key, k_loc, k_mark, k_pi, k_var, k_gam, k_res, k_imp, k_meg, k_sc) = keys[:10]
-        k_vc = keys[10:]
+        keys = jax.random.split(state.key, 11 + len(cfg.re_groups))
+        (key, k_loc, k_mark, k_pi, k_var, k_gam, k_res, k_imp, k_meg, k_sc,
+         k_sem) = keys[:11]
+        k_vc = keys[11:]
         dtype = state.ycorr.dtype
         rinv = data.rinv if cfg.has_weights else None
         n = data.y.shape[1]
@@ -351,10 +354,39 @@ def make_mt_step(cfg: MTEngineCfg):
                     k_res, cfg.df_residual + cfg.n_obs, data.scale_R + SSE
                 ).astype(dtype)
 
+        # ------- 4. SEM structural coefficients (get_Λ, SEM.jl:125-165) -------
+        # ycorr is really Λycorr; raw residual ycorr_raw = Λycorr - Λy + y is
+        # used for the λ draw; first = Y'R⁻¹Y + I (prior λ ~ N(0, 1)).
+        Lambda = state.Lambda
+        if cfg.sem_edges:
+            edges = cfg.sem_edges
+            m = len(edges)
+            rows_e = jnp.asarray([e[0] for e in edges])
+            cols_e = jnp.asarray([e[1] for e in edges])
+            C_old = jnp.zeros((t, t), dtype).at[rows_e, cols_e].set(Lambda)
+            lam_y_old = data.y - C_old @ data.y
+            ycorr_raw = ycorr - lam_y_old + data.y
+            Rd = jnp.diagonal(R)
+            first = jnp.eye(m, dtype=dtype)
+            for a, (i, j) in enumerate(edges):
+                for b_, (i2, j2) in enumerate(edges):
+                    if i == i2:
+                        first = first.at[a, b_].add(data.sem_YY[j, j2] / Rd[i])
+            second = jnp.stack(
+                [data.y[j] @ ycorr_raw[i] / Rd[i] for (i, j) in edges]
+            )
+            Finv = jnp.linalg.inv(first)
+            mean_l = Finv @ second
+            Lc = jnp.linalg.cholesky(0.5 * (Finv + Finv.T))
+            Lambda = mean_l + Lc @ jax.random.normal(k_sem, (m,), dtype=dtype)
+            C_new = jnp.zeros((t, t), dtype).at[rows_e, cols_e].set(Lambda)
+            lam_y = data.y - C_new @ data.y
+            ycorr = ycorr_raw - data.y + lam_y
+
         return MTChainState(
             key=key, sol=sol, alpha=alpha, beta=beta, delta=delta,
             gamma_l=gamma_l, ycorr=ycorr, R=R, varg=varg, pi=pi, vc=vc,
-            liab=liab, thresholds=thresholds, Lambda=state.Lambda,
+            liab=liab, thresholds=thresholds, Lambda=Lambda,
         )
 
     return step
@@ -377,6 +409,8 @@ class MTAccum(NamedTuple):
     ebv_m2: jnp.ndarray
     vc_m: Tuple[jnp.ndarray, ...]
     vc_m2: Tuple[jnp.ndarray, ...]
+    lam_m: jnp.ndarray
+    lam_m2: jnp.ndarray
 
 
 class MTSampleOut(NamedTuple):
@@ -386,6 +420,7 @@ class MTSampleOut(NamedTuple):
     ebv: jnp.ndarray            # (t, n_out)
     genvar: jnp.ndarray         # (t, t)
     h2: jnp.ndarray             # (t,)
+    lam: jnp.ndarray            # (n_edges,) SEM structural coefficients
 
 
 def _welford(m, x, n):
@@ -415,7 +450,7 @@ def make_mt_run_window(cfg: MTEngineCfg):
             genvar = jnp.zeros((cfg.n_traits, cfg.n_traits), ebv.dtype)
         h2 = jnp.diagonal(genvar) / (jnp.diagonal(genvar) + jnp.diagonal(state.R))
         out = MTSampleOut(R=state.R, varg=state.varg, pi=state.pi, ebv=ebv,
-                          genvar=genvar, h2=h2)
+                          genvar=genvar, h2=h2, lam=state.Lambda)
         if accumulate:
             n = accum.n + 1.0
             accum = MTAccum(
@@ -435,6 +470,8 @@ def make_mt_run_window(cfg: MTEngineCfg):
                 ebv_m2=_welford(accum.ebv_m2, ebv**2, n),
                 vc_m=tuple(_welford(m, v, n) for m, v in zip(accum.vc_m, state.vc)),
                 vc_m2=tuple(_welford(m, v**2, n) for m, v in zip(accum.vc_m2, state.vc)),
+                lam_m=_welford(accum.lam_m, state.Lambda, n),
+                lam_m2=_welford(accum.lam_m2, state.Lambda**2, n),
             )
         return state, accum, out
 
@@ -631,6 +668,28 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
             "set R estimate_variance=false"
         )
 
+    # --- SEM causal structure (fully recursive model; SEM_setup, SEM.jl:53-62)
+    sem_edges: Tuple[Tuple[int, int], ...] = ()
+    causal = getattr(opts, "causal_structure", None)
+    if causal is None:
+        causal = model.causal_structure
+    if causal is not None and causal is not False:
+        causal = np.asarray(causal, dtype=np.float64)
+        if causal.shape != (t, t):
+            raise ValueError(f"causal_structure must be {t}x{t}")
+        if np.any(np.triu(causal) != 0):
+            raise ValueError("the causal structure needs to be a lower triangular matrix")
+        if not np.all(np.isin(causal, (0.0, 1.0))):
+            raise ValueError("causal_structure entries must be 0 or 1")
+        if not all(all(m_ for m_ in row) for row in pattern_masks):
+            raise ValueError("missing phenotypes are not allowed in SEM")
+        # column j affects row i (JWAS.jl:144-145); edge order is row-major to
+        # match the reference's Y column order (trait blocks, then targets).
+        sem_edges = tuple(
+            (i, j) for i in range(t) for j in range(t) if causal[i, j] == 1.0
+        )
+        model.causal_structure = causal
+
     cfg = MTEngineCfg(
         method=method, n_obs=n, n_markers=p, n_loc=K,
         estimate_pi=bool(g.estimate_pi) if g is not None else False,
@@ -648,6 +707,7 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         pattern_rows=pattern_rows, pattern_masks=pattern_masks,
         r_constraint=R_constraint,
         latent_traits=latent_traits, binary_traits=binary_traits,
+        sem_edges=sem_edges,
     )
 
     data = MTData(
@@ -657,6 +717,7 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         patterns=patterns, pattern_idx=jnp.asarray(pat_idx, jnp.int32),
         scale_R=jnp.asarray(scale_R0, dtype),
         marker_scale=jnp.asarray(marker_scale0, dtype),
+        sem_YY=(y @ y.T) if sem_edges else jnp.zeros((t, t), dtype),
         category_obs=jnp.asarray(category_np),
         cens_lower=jnp.asarray(cl_np, dtype),
         cens_upper=jnp.asarray(cu_np, dtype),
@@ -707,7 +768,7 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         pi=pi0, vc=tuple(vc0),
         liab=liab0 if liab0 is not None else jnp.zeros((0,), dtype),
         thresholds=thresholds0 if thresholds0 is not None else jnp.zeros((0,), dtype),
-        Lambda=jnp.zeros((0,), dtype),
+        Lambda=jnp.zeros((len(sem_edges),), dtype),
     )
     return cfg, data, state
 
@@ -727,6 +788,7 @@ def _init_mt_accum(cfg, data: MTData, state: MTChainState) -> MTAccum:
         ebv_m=z((t, data.out_W.shape[1]), dt), ebv_m2=z((t, data.out_W.shape[1]), dt),
         vc_m=tuple(z(v.shape, dt) for v in state.vc),
         vc_m2=tuple(z(v.shape, dt) for v in state.vc),
+        lam_m=z(state.Lambda.shape, dt), lam_m2=z(state.Lambda.shape, dt),
     )
 
 
@@ -748,12 +810,16 @@ def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
     if burnin_outer > 0:
         state, accum, _ = run_window(state, data, accum, burnin_outer, accumulate=False)
 
-    samples = {"R": [], "varg": [], "pi": [], "genvar": [], "h2": []}
+    samples = {"R": [], "varg": [], "pi": [], "genvar": [], "h2": [],
+               "lam": [], "alpha": []}
     for _ in range(n_saved):
         state, accum, out = run_window(state, data, accum, thin_outer, accumulate=True)
         for k_, v in (("R", out.R), ("varg", out.varg), ("pi", out.pi),
                       ("genvar", out.genvar), ("h2", out.h2)):
             samples[k_].append(np.asarray(v))
+        if cfg.sem_edges:
+            samples["lam"].append(np.asarray(out.lam))
+            samples["alpha"].append(np.asarray(state.alpha)[:, : cfg.n_markers])
 
     from jwas_tpu.engine.output_mt import build_mt_results
 

@@ -108,6 +108,54 @@ def build_mt_results(ws, cfg, accum, samples, opts) -> Dict[str, pd.DataFrame]:
                 }
             )
 
+    if cfg.sem_edges:
+        # Structural coefficients + indirect/overall marker effects
+        # (SEM.jl:179-316): indirect_s = sum_{i=1..t-1} C_s^i alpha_s per
+        # thinned sample; overall = direct + indirect.
+        lam_m = np.asarray(accum.lam_m)
+        lam_sd = _sd(accum.lam_m, accum.lam_m2)
+        edge_labels = [
+            f"{model.lhs_vec[j]}->{model.lhs_vec[i]}" for (i, j) in cfg.sem_edges
+        ]
+        results["structural coefficients"] = pd.DataFrame(
+            {"Edge": edge_labels, "Estimate": lam_m, "SD": lam_sd}
+        )
+        if ws.geno is not None and samples["lam"]:
+            g = ws.geno
+            p = cfg.n_markers
+            marker_ids = g.marker_ids
+            ind_acc = np.zeros((t, p))
+            ind_acc2 = np.zeros((t, p))
+            ov_acc = np.zeros((t, p))
+            ov_acc2 = np.zeros((t, p))
+            n_s = len(samples["lam"])
+            for lam_s, alpha_s in zip(samples["lam"], samples["alpha"]):
+                C = np.zeros((t, t))
+                for k_, (i, j) in enumerate(cfg.sem_edges):
+                    C[i, j] = lam_s[k_]
+                indirect = np.zeros((t, p))
+                Ci = np.eye(t)
+                for _ in range(t - 1):
+                    Ci = Ci @ C
+                    indirect += Ci @ alpha_s
+                overall = alpha_s + indirect
+                ind_acc += indirect
+                ind_acc2 += indirect**2
+                ov_acc += overall
+                ov_acc2 += overall**2
+            for key2, acc_m, acc_2 in (
+                ("indirect", ind_acc / n_s, ind_acc2 / n_s),
+                ("overall", ov_acc / n_s, ov_acc2 / n_s),
+            ):
+                results[f"{key2} marker effects {g.name}"] = pd.DataFrame(
+                    {
+                        "Trait": np.repeat(model.lhs_vec, p),
+                        "Marker_ID": np.tile(marker_ids, t),
+                        "Estimate": acc_m.reshape(-1),
+                        "SD": np.sqrt(np.abs(acc_2 - acc_m**2)).reshape(-1),
+                    }
+                )
+
     if opts.output_folder:
         os.makedirs(opts.output_folder, exist_ok=True)
         for key, df_out in results.items():
