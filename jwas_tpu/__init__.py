@@ -33,6 +33,7 @@ from jwas_tpu.engine.mcmc import runMCMC
 from jwas_tpu.engine.solve import solve
 from jwas_tpu.analysis.gwas import GWAS
 from jwas_tpu.io.datasets import dataset
+from jwas_tpu.ops.rrm import generate_full_phi
 
 __all__ = [
     "Pedigree",
@@ -51,6 +52,7 @@ __all__ = [
     "solve",
     "GWAS",
     "dataset",
+    "generate_full_phi",
 ]
 
 __version__ = "0.1.0"

@@ -652,6 +652,11 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if opts.double_precision else jnp.float32
 
+    if opts.RRM is not None:
+        from jwas_tpu.engine.mcmc_rrm import run_mcmc_rrm
+
+        return run_mcmc_rrm(model, df, opts, dtype)
+
     if model.n_models != 1:
         from jwas_tpu.engine.mcmc_mt import run_mcmc_mt
 

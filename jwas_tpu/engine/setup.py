@@ -51,6 +51,7 @@ class MCMCOptions:
     fitting_J_vector: bool = True       # SSBR centering covariate (SSBR.jl:24)
     pedigree: object = None
     causal_structure: object = None
+    RRM: object = None                  # (ntimes, ncoeff) Phi for random regression
     update_priors_frequency: int = 0
     printout_model_info: bool = True
     starting_value: object = None
