@@ -64,6 +64,7 @@ class STData(NamedTuple):
     category_obs: Optional[jnp.ndarray] = None  # (n,) int32, 0 = missing
     cens_lower: Optional[jnp.ndarray] = None    # (n,) censored lower bounds
     cens_upper: Optional[jnp.ndarray] = None    # (n,)
+    anno_A: Optional[jnp.ndarray] = None        # (p_pad, k) annotation design
 
 
 def _assemble_lhs(cfg: EngineCfg, data: STData, vc, vare):
@@ -97,9 +98,8 @@ def make_st_step(cfg: EngineCfg):
     n_cat = cfg.cat_counts[0] if cfg.cat_counts else 0
 
     def step(state: ChainState, data: STData) -> ChainState:
-        key, k_loc, k_mark, k_pi, k_var, k_gam, k_scale, k_res, k_liab, k_thr, *k_vc = (
-            jax.random.split(state.key, 10 + len(cfg.re_groups))
-        )
+        (key, k_loc, k_mark, k_pi, k_var, k_gam, k_scale, k_res, k_liab, k_thr,
+         k_ann, *k_vc) = jax.random.split(state.key, 11 + len(cfg.re_groups))
         dtype = state.ycorr.dtype
         rinv = data.rinv if cfg.has_weights else None
 
@@ -174,11 +174,14 @@ def make_st_step(cfg: EngineCfg):
                     gamma_l, k_mark,
                 )
         elif cfg.method == "BayesR":
-            pi_mat = jnp.where(
-                data.valid[:, None] > 0,
-                jnp.broadcast_to(pi[None, :], (data.valid.shape[0], 4)),
-                jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dtype)[None, :],
-            )
+            if pi.ndim == 2:
+                pi_mat = pi          # annotated: per-marker class priors
+            else:
+                pi_mat = jnp.where(
+                    data.valid[:, None] > 0,
+                    jnp.broadcast_to(pi[None, :], (data.valid.shape[0], 4)),
+                    jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dtype)[None, :],
+                )
             if cfg.use_blocks:
                 alpha, delta, ycorr = mk.sweep_blocks_bayesr(
                     mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
@@ -197,8 +200,24 @@ def make_st_step(cfg: EngineCfg):
         elif cfg.method != "none":
             raise ValueError(f"unknown method {cfg.method}")
 
-        # 2b. pi (Pi.jl)
-        if cfg.estimate_pi:
+        # 2b. pi: annotation probits replace the Beta/Dirichlet draw when
+        # annotations are attached (MCMC_BayesianAlphabet.jl:294-317)
+        ann_coeffs, ann_var = state.ann_coeffs, state.ann_var
+        if cfg.anno_steps == 1:
+            from jwas_tpu.ops.annotations import anno_bayesc_update
+
+            ann_coeffs, ann_var, pi = anno_bayesc_update(
+                k_ann, data.anno_A, delta, ann_coeffs, ann_var, data.valid
+            )
+            pi = pi.astype(dtype)
+        elif cfg.anno_steps == 3:
+            from jwas_tpu.ops.annotations import anno_bayesr_update
+
+            ann_coeffs, ann_var, pi = anno_bayesr_update(
+                k_ann, data.anno_A, delta, ann_coeffs, ann_var, data.valid
+            )
+            pi = pi.astype(dtype)
+        elif cfg.estimate_pi:
             if cfg.method == "BayesR":
                 pi = sample_pi_bayesr(k_pi, delta, data.valid).astype(dtype)
             else:
@@ -273,6 +292,7 @@ def make_st_step(cfg: EngineCfg):
             key=key, sol=sol, alpha=alpha, beta=beta, delta=delta,
             gamma_l=gamma_l, ycorr=ycorr, vare=vare, varg=varg, pi=pi,
             scale_g=scale_g, vc=vc, liab=liab, thresholds=thresholds,
+            ann_coeffs=ann_coeffs, ann_var=ann_var,
         )
 
     return step
@@ -318,6 +338,8 @@ class Accum(NamedTuple):
     ebv_m2: jnp.ndarray
     vc_m: Tuple[jnp.ndarray, ...]
     vc_m2: Tuple[jnp.ndarray, ...]
+    ann_m: jnp.ndarray = jnp.zeros((0,))
+    ann_m2: jnp.ndarray = jnp.zeros((0,))
 
 
 def _welford(m, x, n):
@@ -348,8 +370,17 @@ def make_run_window(cfg):
             varg_mean = jnp.sum(jnp.where(data.valid > 0, state.varg, 0.0)) / cfg.n_markers
         else:
             varg_mean = jnp.asarray(state.varg)
-        if cfg.method == "BayesR":
+        if cfg.method == "BayesR" and state.pi.ndim == 2:
+            # annotated: summarize per-marker class priors by their mean
+            pi_summary = jnp.sum(
+                jnp.where((data.valid > 0)[:, None], state.pi, 0.0), axis=0
+            ) / cfg.n_markers
+        elif cfg.method == "BayesR":
             pi_summary = state.pi
+        elif cfg.anno_steps == 1:
+            pi_summary = jnp.zeros((4,), state.ycorr.dtype).at[0].set(
+                jnp.sum(jnp.where(data.valid > 0, state.pi, 0.0)) / cfg.n_markers
+            )
         elif state.pi.shape[0] > 0:
             pi_summary = jnp.zeros((4,), state.ycorr.dtype).at[0].set(state.pi[0])
         else:
@@ -387,6 +418,14 @@ def make_run_window(cfg):
                 ebv_m2=_welford(accum.ebv_m2, ebv**2, n),
                 vc_m=tuple(_welford(m, v, n) for m, v in zip(accum.vc_m, state.vc)),
                 vc_m2=tuple(_welford(m, v**2, n) for m, v in zip(accum.vc_m2, state.vc)),
+                ann_m=(
+                    _welford(accum.ann_m, state.ann_coeffs, n)
+                    if cfg.anno_steps > 0 else accum.ann_m
+                ),
+                ann_m2=(
+                    _welford(accum.ann_m2, state.ann_coeffs**2, n)
+                    if cfg.anno_steps > 0 else accum.ann_m2
+                ),
             )
         return state, accum, out
 
@@ -408,6 +447,8 @@ def _init_accum(cfg, data: STData, state: ChainState) -> Accum:
         ebv_m=z((data.out_W.shape[0],), dt), ebv_m2=z((data.out_W.shape[0],), dt),
         vc_m=tuple(z(v.shape, dt) for v in state.vc),
         vc_m2=tuple(z(v.shape, dt) for v in state.vc),
+        ann_m=z(state.ann_coeffs.shape if state.ann_coeffs is not None else (0,), dt),
+        ann_m2=z(state.ann_coeffs.shape if state.ann_coeffs is not None else (0,), dt),
     )
 
 
@@ -549,6 +590,33 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         )
         liab0 = jnp.asarray(liab_np, dtype)
 
+    # --- annotation design + probit state (annotation_setup.jl:70-160) ---
+    anno_A = None
+    ann_coeffs0 = ann_var0 = None
+    anno_steps = 0
+    if g is not None and g.annotations is not None and method in ("BayesC", "BayesR"):
+        from scipy.stats import norm as _norm
+
+        ann_np = np.asarray(g.annotations, dtype=np.float64)
+        A_np = np.zeros((p_pad, 1 + ann_np.shape[1]))
+        A_np[:p, 0] = 1.0
+        A_np[:p, 1:] = ann_np
+        anno_A = jnp.asarray(A_np, dtype)
+        if method == "BayesC":
+            anno_steps = 1
+            pi_start = np.full(p, float(g.pi)) if np.ndim(g.pi) == 0 else (
+                np.asarray(g.pi, dtype=np.float64)
+            )
+            incl = float(np.clip(np.mean(1.0 - pi_start), 1e-12, 1 - 1e-12))
+            c0 = np.zeros(A_np.shape[1])
+            c0[0] = _norm.ppf(incl)
+            ann_coeffs0 = jnp.asarray(c0, dtype)
+            ann_var0 = jnp.asarray(1.0, dtype)
+        else:
+            anno_steps = 3
+            ann_coeffs0 = jnp.zeros((A_np.shape[1], 3), dtype)
+            ann_var0 = jnp.ones((3,), dtype)
+
     cfg = STEngineCfg(
         method=method,
         n_obs=n,
@@ -567,11 +635,13 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         has_weights=ws.rinv is not None,
         trait_types=tuple(model.traits_type),
         cat_counts=(n_cat,),
+        anno_steps=anno_steps,
         scale_R=float(ws.scale_R),
     )
     data = STData(
         **data_fields,
         category_obs=category_obs, cens_lower=cens_lower, cens_upper=cens_upper,
+        anno_A=anno_A,
     )
 
     # --- initial state ---
@@ -615,7 +685,12 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     else:
         varg = jnp.zeros((), dtype)
 
-    if method == "BayesR":
+    if method == "BayesR" and anno_steps == 3:
+        pi4 = np.asarray(ws.pi0, dtype=np.float64)
+        pi_np = np.tile(pi4[None, :], (p_pad, 1))
+        pi_np[p:] = [1.0, 0.0, 0.0, 0.0]
+        pi = jnp.asarray(pi_np, dtype)
+    elif method == "BayesR":
         pi = jnp.asarray(np.asarray(ws.pi0, dtype=np.float64), dtype)
     elif method in ("BayesC", "BayesB"):
         pi_np = ws.pi0
@@ -637,6 +712,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         key=key, sol=sol, alpha=alpha, beta=beta, delta=delta, gamma_l=gamma_l,
         ycorr=ycorr, vare=jnp.asarray(float(ws.vare0), dtype), varg=varg, pi=pi,
         scale_g=scale_g, vc=tuple(vc0), liab=liab0, thresholds=thresholds0,
+        ann_coeffs=ann_coeffs0, ann_var=ann_var0,
     )
     return cfg, data, state
 

@@ -70,12 +70,49 @@ def build_results(ws, cfg, accum, samples, opts) -> Dict[str, pd.DataFrame]:
                 "SD": [float(_sd(accum.varg_m, accum.varg_m2))],
             }
         )
-        if cfg.estimate_pi:
+        if cfg.estimate_pi and cfg.anno_steps == 0:
             if g.method == "BayesR":
                 pi_m = np.asarray(accum.pi_m)
                 pi_sd = _sd(accum.pi_m, accum.pi_m2)
                 results[f"pi_{g.name}"] = pd.DataFrame(
                     {"pi": [f"class{i}" for i in range(4)], "Estimate": pi_m, "SD": pi_sd}
+                )
+            else:
+                results[f"pi_{g.name}"] = pd.DataFrame(
+                    {
+                        "pi": ["pi"],
+                        "Estimate": [float(np.asarray(accum.pi_m)[0])],
+                        "SD": [float(_sd(accum.pi_m, accum.pi_m2)[0])],
+                    }
+                )
+        if cfg.anno_steps > 0:
+            # annotation probit coefficients (output.jl:151-173)
+            ann_m = np.asarray(accum.ann_m)
+            ann_sd = _sd(accum.ann_m, accum.ann_m2)
+            k = ann_m.shape[0]
+            anames = ["Intercept"] + [f"Annotation_{i}" for i in range(1, k)]
+            if ann_m.ndim == 1:
+                results[f"annotation coefficients {g.name}"] = pd.DataFrame(
+                    {"Annotation": anames, "Estimate": ann_m, "SD": ann_sd}
+                )
+            else:
+                nsteps = ann_m.shape[1]
+                results[f"annotation coefficients {g.name}"] = pd.DataFrame(
+                    {
+                        "Annotation": np.repeat(anames, nsteps),
+                        "Step": np.tile(np.arange(1, nsteps + 1), k),
+                        "Estimate": ann_m.reshape(-1),
+                        "SD": ann_sd.reshape(-1),
+                    }
+                )
+            # pi summary under annotations: mean per-marker prior
+            if g.method == "BayesR":
+                results[f"pi_{g.name}"] = pd.DataFrame(
+                    {
+                        "pi": [f"class{i}" for i in range(4)],
+                        "Estimate": np.asarray(accum.pi_m),
+                        "SD": _sd(accum.pi_m, accum.pi_m2),
+                    }
                 )
             else:
                 results[f"pi_{g.name}"] = pd.DataFrame(

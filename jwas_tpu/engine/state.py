@@ -33,6 +33,8 @@ class ChainState(NamedTuple):
     vc: Tuple[jnp.ndarray, ...]  # per random-effect group: (k, k) covariance G0
     liab: Optional[jnp.ndarray] = None        # (n,) latent liability
     thresholds: Optional[jnp.ndarray] = None  # (n_cat+1,) category thresholds
+    ann_coeffs: Optional[jnp.ndarray] = None  # (k,) or (k, 3) probit coefficients
+    ann_var: Optional[jnp.ndarray] = None     # scalar or (3,) slope variance
 
 
 class MTChainState(NamedTuple):
@@ -90,3 +92,4 @@ class EngineCfg:
     trait_types: Tuple[str, ...] = ()   # "continuous"|"categorical"|"categorical(binary)"|"censored"
     has_sem: bool = False
     cat_counts: Tuple[int, ...] = ()    # categories per trait (0 = not categorical)
+    anno_steps: int = 0   # probit submodels: 1 (AnnoBayesC), 3 (AnnoBayesR)
