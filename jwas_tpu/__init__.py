@@ -34,6 +34,7 @@ from jwas_tpu.engine.solve import solve
 from jwas_tpu.analysis.gwas import GWAS
 from jwas_tpu.io.datasets import dataset
 from jwas_tpu.ops.rrm import generate_full_phi
+from jwas_tpu.analysis.diagnostics import PSRF, traceplot, LOOCV
 
 __all__ = [
     "Pedigree",
@@ -53,6 +54,9 @@ __all__ = [
     "GWAS",
     "dataset",
     "generate_full_phi",
+    "PSRF",
+    "traceplot",
+    "LOOCV",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,127 @@
+"""Convergence diagnostics and closed-form cross-validation.
+
+From-scratch equivalents of the reference misc/diagnostics layer (reference:
+src/1.JWAS/src/4.misc/misc/convergence_diagnosis.jl and pipeline/LOOCV.jl):
+
+- `PSRF` — Gelman-Rubin potential scale reduction factor over >=2 chains
+  (convergence_diagnosis.jl:31-57);
+- `traceplot` — per-parameter trace plus running mean, saved to a PNG
+  (convergence_diagnosis.jl:1-29); matplotlib is optional;
+- `LOOCV` — closed-form leave-one-out PRESS residuals for the ridge /
+  BLUP model, equation-level when p << n, individual-level otherwise
+  (LOOCV.jl eMEM/eBV).
+
+These accept in-memory arrays/DataFrames or the sample files written by
+`runMCMC` (one column per parameter, one row per saved sample).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+
+def _load_chain(obj, header: bool = True) -> np.ndarray:
+    if isinstance(obj, str):
+        df = pd.read_csv(obj, header=0 if header else None)
+        return df.to_numpy(dtype=np.float64)
+    return np.asarray(obj, dtype=np.float64)
+
+
+def PSRF(*chains, header: bool = True) -> float:
+    """Gelman-Rubin potential scale reduction factor (convergence_diagnosis.jl:31-57).
+
+    chains: >=2 sample files or arrays (each one chain, any shape; flattened
+    exactly as the reference flattens with mean/std over the whole table).
+    Values near 1 indicate convergence.
+    """
+    if len(chains) < 2:
+        raise ValueError("PSRF needs at least two chains")
+    means, variances, N = [], [], 0
+    for cobj in chains:
+        x = _load_chain(cobj, header=header).reshape(-1)
+        means.append(x.mean())
+        variances.append(x.std(ddof=1) ** 2)
+        N = len(x)
+    M = len(chains)
+    means = np.asarray(means)
+    B = N / (M - 1) * np.sum((means - means.mean()) ** 2)
+    W = float(np.mean(variances))
+    V = (N - 1) / N * W + (M + 1) / (N * M) * B
+    return V / W
+
+
+def traceplot(samples, labels: Sequence[str] = (), nplots: int = 4,
+              header: bool = True, save_path: str = "traceplot.png"):
+    """Trace + running-mean plot of the first `nplots` parameters
+    (convergence_diagnosis.jl:1-29). Returns the matplotlib figure.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if isinstance(samples, str):
+        df = pd.read_csv(samples, header=0 if header else None)
+        labels = [str(c) for c in df.columns]
+        chain = df.to_numpy(dtype=np.float64)
+    else:
+        chain = np.atleast_2d(np.asarray(samples, dtype=np.float64))
+        if chain.shape[0] == 1:
+            chain = chain.T
+        if not labels:
+            labels = [f"param{i+1}" for i in range(chain.shape[1])]
+    k = min(nplots, chain.shape[1])
+    steps = np.arange(1, chain.shape[0] + 1)
+    fig, axes = plt.subplots(k, 1, figsize=(8, 2.2 * k), squeeze=False)
+    for i in range(k):
+        ax = axes[i][0]
+        ax.plot(steps, chain[:, i], lw=0.6)
+        ax.plot(steps, np.cumsum(chain[:, i]) / steps, color="green", lw=1.2)
+        ax.set_title(str(labels[i]), loc="left", fontsize=9)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+    return fig
+
+
+def LOOCV(X, y, vara: float, vare: float, verbose: bool = True) -> np.ndarray:
+    """Closed-form leave-one-out PRESS residuals (LOOCV.jl).
+
+    X: (n, p) marker covariates (no intercept column; one is added);
+    y: (n,) phenotypes; vara/vare: marker-effect and residual variances.
+    Returns the PRESS residuals e with e_i = (y_i - yhat_i) / (1 - h_ii).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64).reshape(-1)
+    n, p = X.shape
+    lam = vare / vara
+    if n > p:
+        # marker-effects model (eMEM): ridge hat matrix on [1 X]
+        Xf = np.column_stack([np.ones(n), X])
+        ident = np.eye(p + 1)
+        ident[0, 0] = 0.0
+        H0 = np.linalg.inv(Xf.T @ Xf + ident * lam)
+        beta = H0 @ (Xf.T @ y)
+        h = np.einsum("ij,jk,ik->i", Xf, H0, Xf)
+        e = (y - Xf @ beta) / (1.0 - h)
+    else:
+        # breeding-value model (eBV): u ~ N(0, XX' vara)
+        Z = np.column_stack([np.ones(n), np.eye(n)])
+        G = X @ X.T
+        if np.linalg.matrix_rank(G) < n:
+            G = G + np.eye(n) * 0.01
+        Hsub = np.eye(n) + np.linalg.inv(G) * lam
+        H0 = np.linalg.inv(
+            np.block([[np.array([[float(n)]]), np.ones((1, n))],
+                      [np.ones((n, 1)), Hsub]])
+        )
+        beta = H0 @ (Z.T @ y)
+        h = np.einsum("ij,jk,ik->i", Z, H0, Z)
+        e = (y - Z @ beta) / (1.0 - h)
+    if verbose:
+        print(f"mean square of error is {float(e @ e / n)}")
+        print(f"prediction accuracy is {float(np.corrcoef(y, y + e)[0, 1])}")
+    return e

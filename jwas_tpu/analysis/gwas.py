@@ -80,6 +80,8 @@ def GWAS(
     sliding_window: bool = False,
     threshold: float = 0.001,
     output_winVarProps: bool = False,
+    genetic_correlation: bool = False,
+    local_EBV: bool = False,
 ):
     """Window-based GWAS (GWAS.jl:49-249) or model frequencies.
 
@@ -87,13 +89,30 @@ def GWAS(
     Full form: GWAS(model, map_file, marker_effects_file) with `genotypes`
     either taken from the model's marker set or passed explicitly; returns a
     DataFrame with window variance proportions and WPPA.
+
+    genetic_correlation=True with a PAIR of marker-effect files returns
+    per-window genetic covariances/correlations between the two traits
+    (GWAS.jl:203-247). local_EBV=True also returns per-window local EBVs
+    (X_w alpha_w posterior means) per individual.
     """
     if map_file is None:
         return model_frequency(model_or_file)
     if marker_effects_file is None:
         raise ValueError("marker_effects_file is required for window-based GWAS")
 
-    marker_ids, samples = _read_marker_samples(marker_effects_file)  # (S, p)
+    if genetic_correlation:
+        files = marker_effects_file
+        if not (isinstance(files, (list, tuple)) and len(files) == 2):
+            raise ValueError(
+                "genetic_correlation=True requires a pair of marker-effect files"
+            )
+        marker_ids, samples = _read_marker_samples(files[0])
+        _, samples2 = _read_marker_samples(files[1])
+        if samples2.shape != samples.shape:
+            raise ValueError("the two marker-effect files must match in shape")
+    else:
+        marker_ids, samples = _read_marker_samples(marker_effects_file)  # (S, p)
+        samples2 = None
     S, p = samples.shape
 
     X = genotypes
@@ -113,17 +132,55 @@ def GWAS(
 
     A = jnp.asarray(samples.T, jnp.float32)       # (p, S)
     Xd = jnp.asarray(X, jnp.float32)
+
+    if genetic_correlation:
+        # per-window genetic covariance/correlation between traits
+        # (GWAS.jl:203-247), vectorized over samples
+        A2 = jnp.asarray(samples2.T, jnp.float32)
+        rows = []
+        for w, (chrom, start, idx) in enumerate(windows):
+            B1 = Xd[:, idx] @ A[idx, :]            # (n, S)
+            B2 = Xd[:, idx] @ A2[idx, :]
+            B1c = B1 - B1.mean(axis=0, keepdims=True)
+            B2c = B2 - B2.mean(axis=0, keepdims=True)
+            n_ind = B1.shape[0]
+            cov_s = jnp.sum(B1c * B2c, axis=0) / (n_ind - 1)
+            sd = jnp.sqrt(jnp.sum(B1c**2, axis=0) * jnp.sum(B2c**2, axis=0)) / (
+                n_ind - 1
+            )
+            cor_s = jnp.where(sd > 0, cov_s / jnp.maximum(sd, 1e-30), 0.0)
+            cov_np = np.nan_to_num(np.asarray(cov_s))
+            cor_np = np.nan_to_num(np.asarray(cor_s))
+            rows.append(
+                (
+                    "cor(t1,t2)", w + 1, chrom, float(start), len(idx),
+                    marker_ids[idx[0]], marker_ids[idx[-1]],
+                    float(cov_np.mean()), float(cov_np.std()),
+                    float(cor_np.mean()), float(cor_np.std()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "trait", "window", "chr", "wStart", "numSNP", "start_SNP",
+                "end_SNP", "estimate_cov", "std_cov", "estimate_cor", "std_cor",
+            ],
+        )
+
     BV = Xd @ A                                    # (n, S)
     gen_var = jnp.var(BV, axis=0)                  # (S,)
 
     rows = []
     win_props = np.zeros((len(windows), S))
+    local_ebv = {}
     for w, (chrom, start, idx) in enumerate(windows):
         BVw = Xd[:, idx] @ A[idx, :]
         vw = jnp.var(BVw, axis=0)
         prop = np.asarray(vw / jnp.maximum(gen_var, 1e-30))
         win_props[w] = prop
         wppa = float((prop > threshold).mean())
+        if local_EBV:
+            local_ebv[f"window{w+1}"] = np.asarray(BVw.mean(axis=1))
         rows.append(
             (
                 w + 1,
@@ -144,6 +201,11 @@ def GWAS(
         ],
     )
     out = out.sort_values("WPPA", ascending=False).reset_index(drop=True)
+    extras = []
     if output_winVarProps:
-        return out, win_props
+        extras.append(win_props)
+    if local_EBV:
+        extras.append(pd.DataFrame(local_ebv))
+    if extras:
+        return (out, *extras)
     return out

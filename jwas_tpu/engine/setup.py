@@ -56,6 +56,8 @@ class MCMCOptions:
     printout_model_info: bool = True
     starting_value: object = None
     mesh: object = None                 # jax.sharding.Mesh for multi-chip runs
+    memory_guard: str = "warn"          # "error" | "warn" | "off" (C24)
+    memory_guard_ratio: float = 0.9
 
 
 @dataclass
@@ -458,6 +460,32 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
         marker_scale0 = np.asarray(geno.G.scale, dtype=np.float64)
         df_marker = float(geno.G.df)
         pi0 = geno.pi
+
+    # --- memory guard (C24; JWAS.jl:414-459, tools4genotypes.jl:99-235) ---
+    if geno is not None and not geno.is_grm:
+        from jwas_tpu.ops.markers import default_block_size
+        from jwas_tpu.utils.memory import (
+            check_marker_memory_guard,
+            estimate_marker_memory,
+        )
+
+        if opts.fast_blocks is True:
+            bs = default_block_size(n_obs)
+        elif opts.fast_blocks:
+            bs = int(opts.fast_blocks)
+        else:
+            bs = 0
+        est = estimate_marker_memory(
+            n_obs=n_obs,
+            n_markers=geno.n_markers,
+            n_traits=t,
+            block_size=bs,
+            n_out=len(output_ids),
+            n_loc=W.shape[1],
+        )
+        check_marker_memory_guard(
+            est, policy=opts.memory_guard, ratio=opts.memory_guard_ratio
+        )
 
     return Workspace(
         model=model,

@@ -1,0 +1,108 @@
+"""Diagnostics (PSRF, traceplot, LOOCV) and memory-guard tests.
+
+Mirrors the reference misc/guardrail tests (reference:
+test/unit/test_misc_coverage.jl, test_memory_guardrails.jl).
+"""
+
+import numpy as np
+import pytest
+
+from jwas_tpu import PSRF, LOOCV, traceplot
+from jwas_tpu.utils.memory import (
+    check_marker_memory_guard,
+    estimate_marker_memory,
+    format_bytes_human,
+)
+
+
+def test_psrf_converged_chains_near_one():
+    rng = np.random.default_rng(0)
+    chains = [rng.normal(0.0, 1.0, 4000) for _ in range(4)]
+    r = PSRF(*chains)
+    assert 0.98 < r < 1.02
+
+
+def test_psrf_diverged_chains_large():
+    rng = np.random.default_rng(1)
+    a = rng.normal(0.0, 1.0, 2000)
+    b = rng.normal(5.0, 1.0, 2000)
+    assert PSRF(a, b) > 2.0
+    with pytest.raises(ValueError):
+        PSRF(a)
+
+
+def test_loocv_matches_bruteforce():
+    rng = np.random.default_rng(2)
+    n, p = 40, 8
+    X = rng.normal(size=(n, p))
+    beta = rng.normal(size=p)
+    y = 1.0 + X @ beta + rng.normal(0, 0.5, n)
+    vara, vare = 1.0, 0.25
+    e = LOOCV(X, y, vara, vare, verbose=False)
+
+    # brute force: refit ridge leaving each observation out
+    lam = vare / vara
+    Xf = np.column_stack([np.ones(n), X])
+    ident = np.eye(p + 1)
+    ident[0, 0] = 0.0
+    for i in [0, 7, 23]:
+        keep = np.arange(n) != i
+        Xi, yi = Xf[keep], y[keep]
+        bi = np.linalg.solve(Xi.T @ Xi + ident * lam, Xi.T @ yi)
+        pred = Xf[i] @ bi
+        np.testing.assert_allclose(e[i], y[i] - pred, rtol=1e-8)
+
+
+def test_loocv_bv_branch_runs():
+    rng = np.random.default_rng(3)
+    n, p = 30, 100
+    X = rng.normal(size=(n, p))
+    y = X @ rng.normal(size=p) * 0.1 + rng.normal(size=n)
+    e = LOOCV(X, y, 1.0, 1.0, verbose=False)
+    assert e.shape == (n,)
+    assert np.isfinite(e).all()
+
+
+def test_traceplot_writes_png(tmp_path):
+    rng = np.random.default_rng(4)
+    path = str(tmp_path / "trace.png")
+    fig = traceplot(rng.normal(size=(200, 3)), nplots=2, save_path=path)
+    assert fig is not None
+    import os
+
+    assert os.path.exists(path)
+
+
+def test_memory_guard_estimate_and_policy():
+    est = estimate_marker_memory(
+        n_obs=50_000, n_markers=2_000_000, block_size=224, n_out=50_000, n_loc=10
+    )
+    # 50k x ~2M f32 = ~400 GB genotypes; must exceed a 16 GiB budget
+    assert est.bytes_genotypes > 300e9
+    with pytest.raises(MemoryError):
+        check_marker_memory_guard(est, policy="error", total_bytes=16 * 1024**3)
+    with pytest.warns(UserWarning):
+        check_marker_memory_guard(est, policy="warn", total_bytes=16 * 1024**3)
+    check_marker_memory_guard(est, policy="off", total_bytes=1)  # no-op
+    with pytest.raises(ValueError):
+        check_marker_memory_guard(est, policy="nope")
+    assert format_bytes_human(1536) == "1.50 KiB"
+
+
+def test_memory_guard_in_runmcmc():
+    import pandas as pd
+
+    from jwas_tpu import build_model, get_genotypes, runMCMC
+
+    rng = np.random.default_rng(5)
+    n, p = 60, 30
+    X = rng.binomial(2, 0.4, (n, p)).astype(np.float32)
+    ids = [f"i{k}" for k in range(n)]
+    gdf = pd.DataFrame(X, columns=[f"m{j}" for j in range(p)])
+    gdf.insert(0, "ID", ids)
+    ph = pd.DataFrame({"ID": ids, "y": X @ rng.normal(0, 0.3, p) + rng.normal(size=n)})
+    geno = get_genotypes(gdf, method="BayesC", name="geno")
+    model = build_model("y = intercept + geno", genotypes=geno)
+    with pytest.raises(MemoryError):
+        runMCMC(model, ph, chain_length=5, output_folder="",
+                memory_guard="error", memory_guard_ratio=1e-9)

@@ -1,0 +1,99 @@
+"""Window-based GWAS tests.
+
+Mirrors the reference GWAS tests (reference: test/unit/test_gwas_windows.jl):
+map-file window construction (fixed and sliding), WPPA localization of
+simulated QTL windows, model frequency, two-trait window genetic
+correlations, and local EBVs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jwas_tpu import GWAS, build_model, get_genotypes, runMCMC
+from jwas_tpu.io.datasets import simulate_genomic_data
+
+
+@pytest.fixture(scope="module")
+def gwas_run(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("gwas"))
+    sim = simulate_genomic_data(n=500, p=200, n_qtl=4, h2=0.7, seed=55)
+    geno = get_genotypes(sim["genotypes"], method="BayesC", Pi=0.95, name="geno")
+    model = build_model("y = intercept + geno", genotypes=geno)
+    out = runMCMC(model, sim["phenotypes"], chain_length=1000, burnin=200,
+                  seed=12, output_folder=outdir, output_marker_samples=True,
+                  output_samples_frequency=5)
+    # 1 marker per 0.05 Mb -> 20 markers per 1 Mb window, 10 windows
+    map_df = pd.DataFrame(
+        {
+            "markerID": geno.marker_ids,
+            "chromosome": [1] * len(geno.marker_ids),
+            "position": (np.arange(len(geno.marker_ids)) * 50_000) + 1,
+        }
+    )
+    return sim, model, out, map_df
+
+
+def test_model_frequency(gwas_run):
+    sim, model, out, map_df = gwas_run
+    mf = GWAS(out["_marker_sample_file"])
+    assert list(mf.columns) == ["marker_ID", "modelfrequency"]
+    assert mf["modelfrequency"].between(0, 1).all()
+    # QTL markers should have high model frequency
+    geno_ids = list(mf["marker_ID"])
+    qtl_names = [f"m{q+1}" for q in sim["qtl"]]
+    qtl_rows = mf[mf["marker_ID"].isin(qtl_names)]
+    assert qtl_rows["modelfrequency"].mean() > mf["modelfrequency"].mean()
+    del geno_ids
+
+
+def test_window_gwas_localizes_qtl(gwas_run):
+    sim, model, out, map_df = gwas_run
+    res = GWAS(model, map_df, out["_marker_sample_file"], window_size="1 Mb")
+    assert res["numSNP"].sum() == 200
+    # windows containing QTL should rank top by WPPA
+    qtl_windows = set(sim["qtl"] // 20 + 1)
+    top = set(res.head(len(qtl_windows))["window"])
+    overlap = len(top & qtl_windows)
+    assert overlap >= max(1, len(qtl_windows) - 1), (
+        f"QTL windows {qtl_windows} vs top {top}"
+    )
+    assert (res["WPPA"] <= 1).all() and (res["WPPA"] >= 0).all()
+
+
+def test_sliding_window_and_props(gwas_run):
+    sim, model, out, map_df = gwas_run
+    res, props = GWAS(model, map_df, out["_marker_sample_file"],
+                      window_size="1 Mb", sliding_window=True,
+                      output_winVarProps=True)
+    assert len(res) == 200            # one window per marker start
+    assert props.shape[0] == 200
+
+
+def test_local_ebv(gwas_run):
+    sim, model, out, map_df = gwas_run
+    res, lebv = GWAS(model, map_df, out["_marker_sample_file"],
+                     window_size="1 Mb", local_EBV=True)
+    assert lebv.shape == (500, 10)
+    # sum of local EBVs across windows approximates the genomic EBV shape
+    total = lebv.sum(axis=1).to_numpy()
+    acc = np.corrcoef(total, sim["true_bv"])[0, 1]
+    assert acc > 0.6
+
+
+def test_window_genetic_correlation(gwas_run, tmp_path):
+    sim, model, out, map_df = gwas_run
+    f1 = out["_marker_sample_file"]
+    # second trait = same effects -> correlation ~ +1 in QTL windows
+    res = GWAS(model, map_df, [f1, f1], window_size="1 Mb",
+               genetic_correlation=True)
+    assert {"estimate_cov", "estimate_cor"} <= set(res.columns)
+    qtl_windows = sorted(set(sim["qtl"] // 20 + 1))
+    sub = res[res["window"].isin(qtl_windows)]
+    # identical effect files give per-sample cor = +1 wherever the window
+    # carries signal; samples with a zero-variance window contribute cor 0 by
+    # convention (GWAS.jl:226-227), so rarely-included QTL dilute the mean.
+    strong = sub.sort_values("estimate_cov", ascending=False).head(3)
+    assert (strong["estimate_cor"] > 0.9).all()
+    with pytest.raises(ValueError, match="pair"):
+        GWAS(model, map_df, f1, genetic_correlation=True)
