@@ -60,6 +60,10 @@ def main():
     )
     y = X @ beta_true + jax.random.normal(ke, (n,)) * 1.0
     y = y - jnp.mean(y)
+    # NOTE: never fetch device values in this script — device->host transfers
+    # hang over the axon TPU tunnel; everything host-side uses analytic values.
+    # var(y) ~= p*0.01*E[beta^2]*E[2pq] + 1; only throughput matters here.
+    vary_analytic = 0.01 * p * 0.42 + 1.0
 
     md = mk.build_marker_blocks(X, block_size=block)
     p_pad = md.X.shape[1]
@@ -71,7 +75,7 @@ def main():
         estimate_pi=True, estimate_marker_variance=True, estimate_scale=False,
         estimate_residual_variance=True, use_blocks=True, nreps=nreps,
         re_groups=(), df_residual=4.0, df_marker=4.0, has_weights=False,
-        scale_R=float(jnp.var(y) * 0.5),
+        scale_R=vary_analytic * 0.5,
     )
     data = STData(
         W=W, WtRinvW=(W.T @ W), rinv=jnp.ones((n,), dtype), y=y,
@@ -86,7 +90,7 @@ def main():
         delta=jnp.where(md.valid > 0, 1, 0).astype(jnp.int32),
         gamma_l=jnp.ones((p_pad,), dtype),
         ycorr=y - W @ jnp.zeros((K,), dtype),
-        vare=jnp.asarray(float(jnp.var(y)) * 0.5, dtype),
+        vare=jnp.asarray(vary_analytic * 0.5, dtype),
         varg=jnp.asarray(0.01, dtype),
         pi=pi0,
         scale_g=jnp.asarray(0.005, dtype),

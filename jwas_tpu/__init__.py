@@ -35,6 +35,7 @@ from jwas_tpu.analysis.gwas import GWAS
 from jwas_tpu.io.datasets import dataset
 from jwas_tpu.ops.rrm import generate_full_phi
 from jwas_tpu.analysis.diagnostics import PSRF, traceplot, LOOCV
+from jwas_tpu.io.packed import Packed2BitStore, prepare_packed_genotypes
 
 __all__ = [
     "Pedigree",
@@ -57,6 +58,8 @@ __all__ = [
     "PSRF",
     "traceplot",
     "LOOCV",
+    "Packed2BitStore",
+    "prepare_packed_genotypes",
 ]
 
 __version__ = "0.1.0"

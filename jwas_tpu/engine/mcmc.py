@@ -65,6 +65,9 @@ class STData(NamedTuple):
     cens_lower: Optional[jnp.ndarray] = None    # (n,) censored lower bounds
     cens_upper: Optional[jnp.ndarray] = None    # (n,)
     anno_A: Optional[jnp.ndarray] = None        # (p_pad, k) annotation design
+    packed: Optional[jnp.ndarray] = None        # (p_pad, bpm) uint8 2-bit store
+    packed_means: Optional[jnp.ndarray] = None  # (p_pad,)
+    row_perm: Optional[jnp.ndarray] = None      # (n,) store-row per observation
 
 
 def _assemble_lhs(cfg: EngineCfg, data: STData, vc, vare):
@@ -148,7 +151,18 @@ def make_st_step(cfg: EngineCfg):
         alpha, beta, delta, gamma_l, pi, varg = (
             state.alpha, state.beta, state.delta, state.gamma_l, state.pi, state.varg,
         )
-        if cfg.method in ("BayesC", "BayesB"):
+        if cfg.method in ("BayesC", "BayesB") and cfg.is_packed:
+            from jwas_tpu.ops.packed import PackedMarkers, sweep_blocks_abc_packed
+
+            pm = PackedMarkers(
+                data.packed, data.packed_means, data.row_perm,
+                data.xpx, data.grams, data.valid,
+            )
+            alpha, beta, delta, ycorr = sweep_blocks_abc_packed(
+                pm, alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
+                k_mark, nreps=cfg.nreps,
+            )
+        elif cfg.method in ("BayesC", "BayesB"):
             var_eff = varg if cfg.method == "BayesB" else varg
             if cfg.use_blocks:
                 alpha, beta, delta, ycorr = mk.sweep_blocks_abc(
@@ -464,6 +478,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     method = ws.geno.method if ws.geno is not None else "none"
     use_blocks = bool(opts.fast_blocks) and method not in ("GBLUP", "none")
 
+    packed_pm = None
     if method == "GBLUP":
         X = jnp.asarray(ws.gblup_L, dtype)
         xpx = jnp.asarray(ws.gblup_D, dtype)
@@ -472,6 +487,28 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         p = X.shape[1]
         p_pad = p
         nreps = 1
+    elif method != "none" and ws.geno.packed_store is not None:
+        # 2-bit packed backend: decode-on-the-fly, fast_blocks mandatory
+        from jwas_tpu.ops.packed import build_packed_markers
+
+        store = ws.geno.packed_store
+        p = store.n_markers
+        if opts.fast_blocks is True or not opts.fast_blocks:
+            bs = mk.default_block_size(n)
+        else:
+            bs = int(opts.fast_blocks)
+        bs = max(8, ((bs + 7) // 8) * 8)
+        packed_pm = build_packed_markers(
+            store, ws.obs_ids, bs,
+            rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
+        )
+        X = jnp.zeros((n, 0), dtype)
+        xpx = packed_pm.xpx
+        grams = packed_pm.grams
+        valid = packed_pm.valid
+        p_pad = packed_pm.packed.shape[0]
+        use_blocks = True
+        nreps = opts.nreps if opts.nreps is not None else bs
     elif method != "none":
         Xnp = ws.geno.genotypes
         p = ws.geno.n_markers
@@ -636,12 +673,16 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         trait_types=tuple(model.traits_type),
         cat_counts=(n_cat,),
         anno_steps=anno_steps,
+        is_packed=packed_pm is not None,
         scale_R=float(ws.scale_R),
     )
     data = STData(
         **data_fields,
         category_obs=category_obs, cens_lower=cens_lower, cens_upper=cens_upper,
         anno_A=anno_A,
+        packed=packed_pm.packed if packed_pm is not None else None,
+        packed_means=packed_pm.means if packed_pm is not None else None,
+        row_perm=packed_pm.row_perm if packed_pm is not None else None,
     )
 
     # --- initial state ---
@@ -671,7 +712,11 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
 
     y_base = liab0 if liab0 is not None else y
     ycorr = y_base - W @ sol
-    if method == "GBLUP":
+    if packed_pm is not None:
+        from jwas_tpu.ops.packed import packed_matvec
+
+        ycorr = ycorr - packed_matvec(packed_pm, alpha)
+    elif method == "GBLUP":
         ycorr = ycorr - X @ alpha
     elif p > 0:
         ycorr = ycorr - X @ alpha
@@ -717,6 +762,80 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     return cfg, data, state
 
 
+def _run_multichain(ws, cfg, data, state, opts):
+    """Parallel MCMC chains, vmapped over a leading chain axis.
+
+    The reference has no built-in multi-chain support (users run chains by
+    hand and feed PSRF, convergence_diagnosis.jl:31-57); here chains are
+    first-class: one jitted vmapped step advances every chain, chains shard
+    across a 'chains' mesh axis when opts.mesh provides one, and the results
+    dict gains a PSRF table computed from the per-chain samples.
+    """
+    K = int(opts.n_chains)
+    seed = opts.seed if opts.seed is not None else 0
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seed, seed + K))
+
+    def stack(x):
+        return jnp.broadcast_to(x, (K,) + x.shape)
+
+    states = jax.tree.map(stack, state)._replace(key=keys)
+    accum0 = _init_accum(cfg, data, state)
+    accums = jax.tree.map(stack, accum0)
+
+    mesh = opts.mesh
+    if mesh is not None and "chains" in getattr(mesh, "axis_names", ()):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("chains"))
+        states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
+        accums = jax.tree.map(lambda x: jax.device_put(x, shard), accums)
+
+    rw = make_run_window(cfg)
+    mc = jax.vmap(rw, in_axes=(0, None, 0, None, None))
+
+    nreps = cfg.nreps
+    n_outer = max(1, opts.chain_length // nreps)
+    burnin_outer = opts.burnin // nreps
+    osf = opts.output_samples_frequency
+    if osf <= 0:
+        osf = max(1, opts.chain_length // 1000)
+    thin_outer = max(1, osf // nreps)
+    n_saved = max(1, (n_outer - burnin_outer) // thin_outer)
+
+    if burnin_outer > 0:
+        states, accums, _ = mc(states, data, accums, burnin_outer, False)
+
+    chain_samples = {"vare": [], "h2": [], "genvar": []}
+    samples = {"vare": [], "varg": [], "pi": [], "genvar": [], "h2": []}
+    for _ in range(n_saved):
+        states, accums, out = mc(states, data, accums, thin_outer, True)
+        for k_ in chain_samples:
+            chain_samples[k_].append(np.asarray(getattr(out, k_)))  # (K,)
+        samples["vare"].append(np.asarray(out.vare).mean(axis=0))
+        samples["varg"].append(np.asarray(out.varg_mean).mean(axis=0))
+        samples["pi"].append(np.asarray(out.pi_summary).mean(axis=0))
+        samples["genvar"].append(np.asarray(out.genvar).mean(axis=0))
+        samples["h2"].append(np.asarray(out.h2).mean(axis=0))
+
+    # equal-length chains: pooling the per-chain Welford moments is exact
+    pooled = jax.tree.map(lambda x: x.mean(axis=0), accums)
+
+    from jwas_tpu.analysis.diagnostics import PSRF as _psrf
+    from jwas_tpu.engine.output import build_results
+
+    results = build_results(ws, cfg, pooled, samples, opts)
+    if n_saved > 1:
+        rows = []
+        for name, vals in chain_samples.items():
+            arr = np.stack(vals)                     # (n_saved, K)
+            try:
+                rows.append((name, float(_psrf(*[arr[:, c] for c in range(K)]))))
+            except Exception:
+                continue
+        results["PSRF"] = pd.DataFrame(rows, columns=["parameter", "PSRF"])
+    return results
+
+
 def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
     """Run MCMC for the model (the reference's `runMCMC`, JWAS.jl:161-511).
 
@@ -740,6 +859,9 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
 
     ws = prepare_workspace(model, df, opts)
     cfg, data, state = _build_st_data_and_state(ws, opts, dtype)
+
+    if opts.n_chains > 1:
+        return _run_multichain(ws, cfg, data, state, opts)
 
     nreps = cfg.nreps
     chain_length = opts.chain_length

@@ -58,6 +58,7 @@ class MCMCOptions:
     mesh: object = None                 # jax.sharding.Mesh for multi-chip runs
     memory_guard: str = "warn"          # "error" | "warn" | "off" (C24)
     memory_guard_ratio: float = 0.9
+    n_chains: int = 1                   # parallel chains (vmapped; P6 analogue)
 
 
 @dataclass
@@ -408,6 +409,28 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
             # output map: (Z_o G) L diag(1/D)  (GBLUP.jl:9-31)
             out_geno = (Zo @ grm @ L) / D[None, :] if Zo is not None else None
             geno = g0
+        elif g0.packed_store is not None:
+            # packed backend: the device engine decodes tiles on the fly; the
+            # phenotype-row permutation is applied there, not here
+            if t != 1:
+                raise ValueError("storage='2bit' supports single-trait models only")
+            if opts.single_step_analysis:
+                raise ValueError("storage='2bit' does not support single-step analysis")
+            missing_geno = [s for s in obs_ids if s not in set(g0.obs_ids)]
+            if missing_geno:
+                raise ValueError(
+                    f"individual {missing_geno[0]} has no genotypes"
+                )
+            geno = g0
+            if output_ids:
+                store = g0.packed_store
+                row_of = {s: i for i, s in enumerate(store.obs_ids)}
+                rows = np.array([row_of[s] for s in output_ids], dtype=np.int64)
+                out_geno = np.empty((len(output_ids), g0.n_markers), np.float32)
+                chunk = 4096
+                for c0 in range(0, g0.n_markers, chunk):
+                    cols = np.arange(c0, min(c0 + chunk, g0.n_markers))
+                    out_geno[:, cols] = store.decode(cols)[rows]
         else:
             geno = g0.aligned_to(obs_ids)
             geno.G = g0.G
@@ -482,6 +505,7 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
             block_size=bs,
             n_out=len(output_ids),
             n_loc=W.shape[1],
+            packed=geno.packed_store is not None,
         )
         check_marker_memory_guard(
             est, policy=opts.memory_guard, ratio=opts.memory_guard_ratio

@@ -93,3 +93,4 @@ class EngineCfg:
     has_sem: bool = False
     cat_counts: Tuple[int, ...] = ()    # categories per trait (0 = not categorical)
     anno_steps: int = 0   # probit submodels: 1 (AnnoBayesC), 3 (AnnoBayesR)
+    is_packed: bool = False   # genotypes are a 2-bit packed device store

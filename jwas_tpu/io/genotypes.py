@@ -90,6 +90,8 @@ class Genotypes:
 
     # filled during model building / alignment
     output_genotypes: Optional[np.ndarray] = None
+    # 2-bit packed backend (C12 analogue); genotypes stays None when set
+    packed_store: Optional[object] = None
 
     def aligned_to(self, obs_ids: Sequence[str]) -> "Genotypes":
         """Return a view of this marker set reordered to `obs_ids` rows.
@@ -189,9 +191,55 @@ def get_genotypes(
     """
     if method not in _SUPPORTED_METHODS:
         raise ValueError(f"method {method!r} is not available; use one of {_SUPPORTED_METHODS}")
-    if storage not in ("f32", "f64", "int8"):
-        raise ValueError("storage must be 'f32', 'f64', or 'int8'")
+    if storage not in ("f32", "f64", "int8", "2bit"):
+        raise ValueError("storage must be 'f32', 'f64', 'int8', or '2bit'")
     dtype = np.float64 if (double_precision or storage == "f64") else np.float32
+
+    from jwas_tpu.io.packed import Packed2BitStore
+
+    if isinstance(file, Packed2BitStore) or storage == "2bit":
+        # packed backend (reference streaming constraints,
+        # input_data_validation.jl:81-111: single-trait spike-slab only)
+        if method not in ("BayesC", "BayesB"):
+            raise ValueError("storage='2bit' supports BayesC/BayesB only")
+        if annotations is not None:
+            raise ValueError("annotations are not supported with storage='2bit'")
+        if isinstance(file, Packed2BitStore):
+            store = file
+        else:
+            from jwas_tpu.io.packed import prepare_packed_genotypes
+
+            store = prepare_packed_genotypes(
+                file, separator=separator, header=header,
+                missing_value=missing_value,
+                MAF=MAF if quality_control else 0.0,
+            )
+        g = Genotypes(
+            obs_ids=list(store.obs_ids),
+            marker_ids=list(store.marker_ids),
+            n_obs=store.n_obs,
+            n_markers=store.n_markers,
+            allele_freq=np.asarray(store.allele_freq, dtype=np.float64),
+            sum2pq=store.sum2pq,
+            centered=True,
+            genotypes=None,
+            method=method,
+            pi=Pi,
+            estimate_pi=estimatePi,
+            G=VarianceSpec(
+                val=G if G_is_marker_variance else None, df=df,
+                estimate_variance=estimate_variance,
+                estimate_scale=estimate_scale, constraint=constraint,
+            ),
+            genetic_variance=VarianceSpec(
+                val=None if G_is_marker_variance else G, df=df,
+                estimate_variance=estimate_variance,
+                estimate_scale=estimate_scale, constraint=constraint,
+            ),
+            name=name,
+            packed_store=store,
+        )
+        return g
 
     obs_ids, marker_ids, mat = _read_genotype_input(file, separator, header, dtype)
     n_obs, n_markers = mat.shape

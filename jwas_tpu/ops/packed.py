@@ -1,0 +1,228 @@
+"""Device-side 2-bit packed genotype operations.
+
+TPU-native replacement for the reference's decode-one-marker CPU loop
+(reference: src/1.JWAS/src/markers/streaming_genotypes.jl:978-1027): the
+packed (p, ceil(n/4)) uint8 matrix lives in HBM at 1/16 the dense f32
+footprint; marker tiles are decoded to centered float32 on the fly and fused
+into the surrounding GEMVs by XLA, so the blocked Gibbs sweep never holds a
+dense X.
+
+Decode: code c in {0,1,2} is the dosage, 3 = missing -> marker mean, then
+center by the mean (missing decodes to exactly 0 after centering).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PackedMarkers(NamedTuple):
+    """All-array pytree; static sizes come from shapes (n_obs =
+    row_perm.shape[0], p_pad = packed.shape[0])."""
+
+    packed: jnp.ndarray     # (p_pad, bpm) uint8, marker-major
+    means: jnp.ndarray      # (p_pad,) f32
+    row_perm: jnp.ndarray   # (n_obs,) int32 store-row index per observation
+    xpx: jnp.ndarray        # (p_pad,) diag X'R^-1 X
+    grams: jnp.ndarray      # (b, b, nblocks) fast-blocks Gram tiles
+    valid: jnp.ndarray      # (p_pad,)
+
+
+def decode_tile(packed_rows, means_rows, row_perm, dtype=jnp.float32):
+    """Decode (k, bpm) packed rows -> centered (n_obs, k) float tile."""
+    shifts = jnp.asarray([0, 2, 4, 6], jnp.uint8)
+    codes = (packed_rows[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    codes = codes.reshape(packed_rows.shape[0], -1)            # (k, 4*bpm)
+    x = codes.astype(dtype)
+    m = means_rows.astype(dtype)[:, None]
+    x = jnp.where(x == 3.0, m, x) - m
+    return x[:, row_perm].T                                     # (n_obs, k)
+
+
+def _pick_chunk(p_pad: int, b: int, target: int = 4096) -> int:
+    """Largest multiple of b that divides p_pad and is <= target."""
+    nblocks = max(1, p_pad // b)
+    k = max(1, min(nblocks, max(1, target // b)))
+    while nblocks % k:
+        k -= 1
+    return k * b
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def packed_matvec(pm: PackedMarkers, v, chunk: int = 0):
+    """X @ v without densifying X: scan over marker chunks of the packed
+    store, decoding each tile into VMEM-sized registers (streaming_mul_alpha!,
+    :1009-1027, but tiled and on-device)."""
+    p_pad = pm.packed.shape[0]
+    if chunk <= 0:
+        chunk = _pick_chunk(p_pad, pm.grams.shape[0])
+    nchunks = p_pad // chunk
+    dtype = v.dtype
+
+    def body(acc, k):
+        rows = jax.lax.dynamic_slice(pm.packed, (k * chunk, 0),
+                                     (chunk, pm.packed.shape[1]))
+        mns = jax.lax.dynamic_slice(pm.means, (k * chunk,), (chunk,))
+        vs = jax.lax.dynamic_slice(v, (k * chunk,), (chunk,))
+        X = decode_tile(rows, mns, pm.row_perm, dtype)
+        return acc + X @ vs, None
+
+    acc0 = jnp.zeros((pm.row_perm.shape[0],), dtype)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(nchunks))
+    return acc
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def packed_rhs(pm: PackedMarkers, w, chunk: int = 0):
+    """X' w over the packed store, tiled (the rhs0 of the blocked sweep)."""
+    p_pad = pm.packed.shape[0]
+    if chunk <= 0:
+        chunk = _pick_chunk(p_pad, pm.grams.shape[0])
+    nchunks = p_pad // chunk
+    dtype = w.dtype
+
+    def body(_, k):
+        rows = jax.lax.dynamic_slice(pm.packed, (k * chunk, 0),
+                                     (chunk, pm.packed.shape[1]))
+        mns = jax.lax.dynamic_slice(pm.means, (k * chunk,), (chunk,))
+        X = decode_tile(rows, mns, pm.row_perm, dtype)
+        return None, X.T @ w
+
+    _, parts = jax.lax.scan(body, None, jnp.arange(nchunks))
+    return parts.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("nreps", "chunk"))
+def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
+                            rinv, vare, var_eff, pi, key, nreps: int = 1,
+                            chunk: int = 0):
+    """Fast-blocks BayesA/B/C sweep over the packed store.
+
+    Identical math to markers.sweep_blocks_abc (BayesABC block path,
+    BayesABC.jl:111-188) — the only difference is that the two O(n*p) GEMVs
+    bounding the inner block rounds stream decoded tiles instead of reading a
+    dense X. Constraint parity with the reference streaming backend: this is
+    the single-trait spike-slab path (input_data_validation.jl:81-111).
+    """
+    from jwas_tpu.ops import markers as mk
+
+    b = pm.grams.shape[0]
+    nblocks = pm.grams.shape[2]
+    dtype = ycorr.dtype
+    inv_vare = 1.0 / vare
+    var_eff_b = mk._to_jmajor(
+        jnp.broadcast_to(jnp.asarray(var_eff, dtype), (nblocks * b,)), nblocks, b
+    )
+    pi_c = jnp.clip(pi.astype(dtype), 1e-10, 1.0)
+    log_pi = mk._to_jmajor(jnp.log(pi_c), nblocks, b)
+    log_pi_comp = mk._to_jmajor(jnp.log1p(-pi_c + 1e-12), nblocks, b)
+    xpx_b = mk._to_jmajor(pm.xpx, nblocks, b)
+
+    w = ycorr if rinv is None else rinv * ycorr
+    rhs0 = mk._to_jmajor(packed_rhs(pm, w, chunk=chunk), nblocks, b)
+
+    ku, kz = jax.random.split(key)
+    us = jax.random.uniform(ku, (nreps * b, nblocks), dtype=dtype)
+    zs = jax.random.normal(kz, (nreps * b, nblocks), dtype=dtype)
+
+    alpha_b = mk._to_jmajor(alpha, nblocks, b)
+    beta_b = mk._to_jmajor(beta, nblocks, b)
+    delta_b = mk._to_jmajor(delta, nblocks, b)
+    alpha_start = alpha_b
+
+    md = mk.MarkerBlocks(pm.packed, pm.xpx, pm.grams, pm.valid)
+
+    def step(carry, inp):
+        alpha_b, beta_b, delta_b, rhs_b = carry
+        j, u, z = inp
+        a_j = alpha_b[j]
+        a_new, b_new, d_new = mk._abc_update(
+            rhs_b[j], a_j, xpx_b[j], inv_vare, var_eff_b[j],
+            log_pi[j], log_pi_comp[j], u, z,
+        )
+        rhs_b = rhs_b + (a_j - a_new)[None, :] * pm.grams[j]
+        return (
+            alpha_b.at[j].set(a_new),
+            beta_b.at[j].set(b_new),
+            delta_b.at[j].set(d_new),
+            rhs_b,
+        )
+
+    alpha_b, beta_b, delta_b, _ = mk._blocked_round(
+        md, step, (alpha_b, beta_b, delta_b, rhs0), (us, zs), nreps, b
+    )
+    d_alpha = mk._from_jmajor(alpha_start - alpha_b)
+    ycorr = ycorr + packed_matvec(pm, d_alpha, chunk=chunk)
+    return (
+        mk._from_jmajor(alpha_b),
+        mk._from_jmajor(beta_b),
+        mk._from_jmajor(delta_b),
+        ycorr,
+    )
+
+
+def build_packed_markers(store, obs_ids, block_size: int, rinv=None,
+                         dtype=jnp.float32, gram_chunk: int = 8) -> PackedMarkers:
+    """Stage a host Packed2BitStore on device and precompute the fast-blocks
+    Gram tiles from decoded tiles (GibbsMats analogue, tools4genotypes.jl:237-275).
+
+    obs_ids selects/permutes store rows to the phenotype order (row gather on
+    device after decode — packed bits are never repacked).
+    """
+    import numpy as np
+
+    index = {s: i for i, s in enumerate(store.obs_ids)}
+    try:
+        perm = np.asarray([index[s] for s in obs_ids], dtype=np.int32)
+    except KeyError as e:
+        raise ValueError(f"individual {e} has no genotypes") from None
+
+    p = store.n_markers
+    b = block_size
+    nblocks = -(-p // b)
+    p_pad = nblocks * b
+    packed_np = store.packed
+    if p_pad != p:
+        pad = np.zeros((p_pad - p, store.bytes_per_marker), dtype=np.uint8)
+        packed_np = np.concatenate([packed_np, pad], axis=0)
+    means_np = np.zeros(p_pad, dtype=np.float32)
+    means_np[:p] = store.means
+    valid_np = np.zeros(p_pad, dtype=np.float32)
+    valid_np[:p] = 1.0
+
+    packed = jnp.asarray(packed_np)
+    means = jnp.asarray(means_np)
+    row_perm = jnp.asarray(perm)
+    n_obs = len(obs_ids)
+
+    rinv_d = None if rinv is None else jnp.asarray(rinv, dtype)
+
+    @partial(jax.jit, static_argnames=("nblk",))
+    def gram_group(k0, nblk):
+        rows = jax.lax.dynamic_slice(packed, (k0 * b, 0), (nblk * b, packed.shape[1]))
+        mns = jax.lax.dynamic_slice(means, (k0 * b,), (nblk * b,))
+        X = decode_tile(rows, mns, row_perm, dtype)          # (n, nblk*b)
+        Xb = X.reshape(n_obs, nblk, b)
+        Xw = Xb if rinv_d is None else Xb * rinv_d[:, None, None]
+        g = jnp.einsum("nkb,nkc->bck", Xw, Xb)               # (b, b, nblk)
+        xpx = jnp.einsum("nkb,nkb->kb", Xw, Xb).reshape(-1)  # (nblk*b,)
+        return g, xpx
+
+    grams_parts, xpx_parts = [], []
+    for k0 in range(0, nblocks, gram_chunk):
+        nblk = min(gram_chunk, nblocks - k0)
+        g, xpx = gram_group(k0, nblk)
+        grams_parts.append(g)
+        xpx_parts.append(xpx)
+    grams = jnp.concatenate(grams_parts, axis=2)
+    xpx = jnp.concatenate(xpx_parts)
+    xpx = jnp.where(jnp.asarray(valid_np) > 0, jnp.maximum(xpx, 1e-10), 1.0)
+
+    return PackedMarkers(
+        packed=packed, means=means, row_perm=row_perm,
+        xpx=xpx, grams=grams, valid=jnp.asarray(valid_np),
+    )

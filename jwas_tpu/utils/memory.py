@@ -67,9 +67,13 @@ def estimate_marker_memory(
     n_out: int = 0,
     n_loc: int = 0,
     itemsize: int = 4,
+    packed: bool = False,
 ) -> MarkerMemoryEstimate:
     """Estimate device bytes of the marker path (estimate_marker_memory,
-    tools4genotypes.jl:99-160, re-derived for our engine's buffers)."""
+    tools4genotypes.jl:99-160, re-derived for our engine's buffers).
+
+    packed=True: the genotype matrix is the 2-bit store (2 bits/entry) instead
+    of dense float."""
     p = n_markers
     if block_size:
         nblocks = -(-p // block_size)
@@ -78,8 +82,9 @@ def estimate_marker_memory(
     else:
         p_pad = p
         bytes_grams = 0
+    geno_bytes = (p_pad * ((n_obs + 3) // 4)) if packed else n_obs * p_pad * itemsize
     return MarkerMemoryEstimate(
-        bytes_genotypes=n_obs * p_pad * itemsize,
+        bytes_genotypes=geno_bytes,
         bytes_grams=bytes_grams,
         bytes_output=n_out * p * itemsize * n_traits,
         bytes_design=n_obs * n_traits * n_loc * itemsize,
