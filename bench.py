@@ -70,11 +70,13 @@ def main():
     K = 1
     W = jnp.ones((n, K), dtype)
 
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     cfg = STEngineCfg(
         method="BayesC", n_obs=n, n_markers=p, n_loc=K,
         estimate_pi=True, estimate_marker_variance=True, estimate_scale=False,
         estimate_residual_variance=True, use_blocks=True, nreps=nreps,
         re_groups=(), df_residual=4.0, df_marker=4.0, has_weights=False,
+        use_pallas=use_pallas and (p // block) % 128 == 0,
         scale_R=vary_analytic * 0.5,
     )
     data = STData(

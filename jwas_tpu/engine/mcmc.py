@@ -162,6 +162,15 @@ def make_st_step(cfg: EngineCfg):
                 pm, alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
                 k_mark, nreps=cfg.nreps,
             )
+        elif cfg.method in ("BayesC", "BayesB") and cfg.use_pallas:
+            from jwas_tpu.ops.pallas_sweep import sweep_blocks_abc_pallas
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            alpha, beta, delta, ycorr = sweep_blocks_abc_pallas(
+                mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
+                alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
+                k_mark, nreps=cfg.nreps, interpret=interp,
+            )
         elif cfg.method in ("BayesC", "BayesB"):
             var_eff = varg if cfg.method == "BayesB" else varg
             if cfg.use_blocks:
@@ -674,6 +683,13 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         cat_counts=(n_cat,),
         anno_steps=anno_steps,
         is_packed=packed_pm is not None,
+        use_pallas=(
+            bool(opts.use_pallas)
+            and use_blocks
+            and packed_pm is None
+            and method in ("BayesC", "BayesB")
+            and grams.shape[2] % 128 == 0
+        ),
         scale_R=float(ws.scale_R),
     )
     data = STData(

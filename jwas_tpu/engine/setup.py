@@ -59,6 +59,7 @@ class MCMCOptions:
     memory_guard: str = "warn"          # "error" | "warn" | "off" (C24)
     memory_guard_ratio: float = 0.9
     n_chains: int = 1                   # parallel chains (vmapped; P6 analogue)
+    use_pallas: bool = False            # Pallas kernel for the blocked sweep
 
 
 @dataclass

@@ -94,3 +94,4 @@ class EngineCfg:
     cat_counts: Tuple[int, ...] = ()    # categories per trait (0 = not categorical)
     anno_steps: int = 0   # probit submodels: 1 (AnnoBayesC), 3 (AnnoBayesR)
     is_packed: bool = False   # genotypes are a 2-bit packed device store
+    use_pallas: bool = False  # run blocked inner rounds in the Pallas kernel

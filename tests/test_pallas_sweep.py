@@ -1,0 +1,45 @@
+"""Pallas blocked-sweep kernel: bit-parity with the XLA scan path.
+
+Runs in interpret mode on the CPU test mesh; on real TPU hardware the same
+kernel compiles via Mosaic. The kernel consumes identical RNG draws, so
+outputs must match sweep_blocks_abc exactly (up to float associativity in
+the rhs update, which is identical here).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jwas_tpu.ops import markers as mk
+from jwas_tpu.ops.pallas_sweep import sweep_blocks_abc_pallas
+
+
+@pytest.mark.parametrize("nreps", [1, 3])
+def test_pallas_matches_xla_scan(nreps):
+    rng = np.random.default_rng(0)
+    n, p, b = 64, 128 * 8 * 2, 8          # nblocks = 256 -> 2 grid cells
+    X = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    md = mk.build_marker_blocks(X, block_size=b)
+    assert md.grams.shape[2] % 128 == 0
+
+    y = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    alpha = jnp.asarray(rng.normal(size=(md.X.shape[1],)) * 0.1, jnp.float32)
+    beta = alpha
+    delta = jnp.ones_like(alpha).astype(jnp.int32)
+    pi = jnp.where(md.valid > 0, 0.9, 1.0).astype(jnp.float32)
+    key = jax.random.PRNGKey(7)
+    vare = jnp.asarray(1.3, jnp.float32)
+    varg = jnp.asarray(0.02, jnp.float32)
+
+    a1, b1, d1, y1 = mk.sweep_blocks_abc(
+        md, alpha, beta, delta, y, None, vare, varg, pi, key, nreps=nreps
+    )
+    a2, b2, d2, y2 = sweep_blocks_abc_pallas(
+        md, alpha, beta, delta, y, None, vare, varg, pi, key, nreps=nreps,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-5)
