@@ -1,9 +1,15 @@
 """Benchmark: single-trait BayesC marker-effect updates/sec on one chip.
 
-Headline metric matching BASELINE.md: marker-effect updates per second for
-the blocked (fast_blocks) BayesC sampler. The reference's single-core
-non-block rate is ~15.6k updates/s (docs/src/manual/benchmark.md:81-90);
-vs_baseline reports our multiple of that rate.
+Headline metric matching BASELINE.md: EFFECTIVE marker-effect updates per
+second for the blocked (fast_blocks) BayesC sampler, using the reference's
+own block-mode accounting (each outer iteration performs nreps=block_size
+inner sweeps; chain length is rescaled accordingly, JWAS.jl:293-316).
+
+vs_baseline compares against the reference's BEST published configuration:
+blocked BayesC at N=50k, P=2M, L=2000 effective sweeps in 3,449 s on a
+64-CPU node (docs/src/manual/benchmark.md:58-62) = 1.16M effective
+updates/s. The single-core non-block rate (~15.6k updates/s,
+benchmark.md:81-90) is reported on the comment line for context.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -15,12 +21,30 @@ import time
 
 import numpy as np
 
-BASELINE_UPDATES_PER_SEC = 15_600.0  # JWAS single-core non-block implied rate
+# JWAS fast_blocks on a 64-CPU node: 2e6 markers * 2000 effective sweeps / 3449 s
+BASELINE_UPDATES_PER_SEC = 2_000_000 * 2_000 / 3_449.0  # ~1.16e6
+SINGLE_CORE_NONBLOCK = 15_600.0
+
+
+def _sync(x) -> float:
+    """Force completion of all queued device work.
+
+    On the tunneled TPU platform `jax.block_until_ready` returns immediately
+    (buffers report ready before execution finishes), so the only reliable
+    barrier is a host fetch of a scalar, which drains the execution queue.
+    """
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(x).reshape(-1)[0])
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    # The FIRST device->host fetch in a process pays a one-time ~2-4 min
+    # channel-setup cost over the tunnel; pay it now so timed fetches are ~30ms.
+    _sync(jnp.ones((1,)))
 
     from jwas_tpu.engine.mcmc import STEngineCfg, make_run_window, _init_accum, STData
     from jwas_tpu.engine.state import ChainState
@@ -60,8 +84,7 @@ def main():
     )
     y = X @ beta_true + jax.random.normal(ke, (n,)) * 1.0
     y = y - jnp.mean(y)
-    # NOTE: never fetch device values in this script — device->host transfers
-    # hang over the axon TPU tunnel; everything host-side uses analytic values.
+    # Use analytic var(y) to avoid an extra device fetch during setup.
     # var(y) ~= p*0.01*E[beta^2]*E[2pq] + 1; only throughput matters here.
     vary_analytic = 0.01 * p * 0.42 + 1.0
 
@@ -70,7 +93,7 @@ def main():
     K = 1
     W = jnp.ones((n, K), dtype)
 
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     cfg = STEngineCfg(
         method="BayesC", n_obs=n, n_markers=p, n_loc=K,
         estimate_pi=True, estimate_marker_variance=True, estimate_scale=False,
@@ -104,11 +127,11 @@ def main():
 
     # warm-up / compile with the same static n_iters as the timed call
     state, accum, _ = run_window(state, data, accum, n_outer, accumulate=True)
-    jax.block_until_ready(state.ycorr)
+    _sync(state.vare)
 
     t0 = time.perf_counter()
     state, accum, out = run_window(state, data, accum, n_outer, accumulate=True)
-    jax.block_until_ready(state.ycorr)
+    _sync(state.vare)
     dt = time.perf_counter() - t0
 
     effective_updates = p * nreps * n_outer
@@ -125,7 +148,9 @@ def main():
     )
     print(
         f"# n={n} p={p} block={block} nreps={nreps} outer={n_outer} "
-        f"wall={dt:.2f}s sweeps/s={nreps*n_outer/dt:.2f} device={jax.devices()[0]}",
+        f"wall={dt:.2f}s sweeps/s={nreps*n_outer/dt:.2f} "
+        f"vs_single_core_nonblock={rate/SINGLE_CORE_NONBLOCK:.0f}x "
+        f"pallas={use_pallas} device={jax.devices()[0]}",
         file=sys.stderr,
     )
 

@@ -68,6 +68,9 @@ class STData(NamedTuple):
     packed: Optional[jnp.ndarray] = None        # (p_pad, bpm) uint8 2-bit store
     packed_means: Optional[jnp.ndarray] = None  # (p_pad,)
     row_perm: Optional[jnp.ndarray] = None      # (n,) store-row per observation
+    scale_r: Optional[jnp.ndarray] = None       # scalar residual-variance prior scale
+                                                # (device-resident so update_priors can
+                                                # change it without recompiling)
 
 
 def _assemble_lhs(cfg: EngineCfg, data: STData, vc, vare):
@@ -306,8 +309,12 @@ def make_st_step(cfg: EngineCfg):
         # 3.2 residual variance
         vare = state.vare
         if cfg.estimate_residual_variance:
+            scale_r = (
+                data.scale_r if data.scale_r is not None
+                else jnp.asarray(cfg_scale_R(cfg), dtype)
+            )
             vare = sample_residual_variance_st(
-                k_res, ycorr, cfg.n_obs, cfg.df_residual, jnp.asarray(cfg_scale_R(cfg), dtype),
+                k_res, ycorr, cfg.n_obs, cfg.df_residual, scale_r,
                 invweights=rinv,
             ).astype(dtype)
 
@@ -473,6 +480,32 @@ def _init_accum(cfg, data: STData, state: ChainState) -> Accum:
         ann_m=z(state.ann_coeffs.shape if state.ann_coeffs is not None else (0,), dt),
         ann_m2=z(state.ann_coeffs.shape if state.ann_coeffs is not None else (0,), dt),
     )
+
+
+def _apply_update_priors(cfg, data: STData, state: ChainState, accum: Accum):
+    """Empirical-Bayes prior refresh from running posterior means
+    (MCMC_BayesianAlphabet.jl:381-395, "Update priors using posteriors").
+
+    Applied at thinning-window boundaries (the reference applies it every
+    `update_priors_frequency` inner iterations; with the blocked outer loop a
+    window boundary is the natural granularity). BayesB keeps its marker-scale
+    prior fixed, matching the reference's `methods != "BayesB"` guard.
+    """
+    if cfg.method not in ("BayesB", "none"):
+        # scale = meanVara*(df-2)/df (ST form)
+        state = state._replace(
+            scale_g=accum.varg_m * (cfg.df_marker - 2.0) / cfg.df_marker
+        )
+    vc_scale = list(data.vc_scale)
+    for g, grp in enumerate(cfg.re_groups):
+        if grp.random_type == "A":
+            k = len(grp.starts)
+            vc_scale[g] = accum.vc_m[g] * (grp.df - k - 1.0)
+    data = data._replace(
+        vc_scale=tuple(vc_scale),
+        scale_r=accum.vare_m * (cfg.df_residual - 2.0) / cfg.df_residual,
+    )
+    return data, state
 
 
 def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
@@ -699,6 +732,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         packed=packed_pm.packed if packed_pm is not None else None,
         packed_means=packed_pm.means if packed_pm is not None else None,
         row_perm=packed_pm.row_perm if packed_pm is not None else None,
+        scale_r=jnp.asarray(float(ws.scale_R), dtype),
     )
 
     # --- initial state ---
@@ -897,8 +931,15 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
 
     samples = {"vare": [], "varg": [], "pi": [], "genvar": [], "h2": []}
     alpha_samples = [] if opts.output_marker_samples else None
-    for _ in range(n_saved):
+    upf = int(opts.update_priors_frequency or 0)
+    prior_epoch = 0
+    for w in range(n_saved):
         state, accum, out = run_window(state, data, accum, thin_outer, accumulate=True)
+        if upf > 0:
+            iters_done = (burnin_outer + (w + 1) * thin_outer) * nreps
+            if iters_done // upf > prior_epoch:
+                prior_epoch = iters_done // upf
+                data, state = _apply_update_priors(cfg, data, state, accum)
         samples["vare"].append(np.asarray(out.vare))
         samples["varg"].append(np.asarray(out.varg_mean))
         samples["pi"].append(np.asarray(out.pi_summary))

@@ -792,6 +792,28 @@ def _init_mt_accum(cfg, data: MTData, state: MTChainState) -> MTAccum:
     )
 
 
+def _apply_update_priors_mt(cfg, data: MTData, accum: MTAccum):
+    """Empirical-Bayes prior refresh from running posterior means, MT form
+    (MCMC_BayesianAlphabet.jl:381-395): marker scale = meanVara*(df-t-1),
+    polygenic scale = G0Mean*(df-k-1), residual scale = meanVare*(df-2)/df.
+    BayesB (per-marker variances) keeps its marker prior fixed."""
+    t = cfg.n_traits
+    fields = {}
+    if cfg.method not in ("BayesB", "none") and accum.varg_m.ndim == 2:
+        fields["marker_scale"] = accum.varg_m * (cfg.df_marker - t - 1.0)
+    vc_scale = list(data.vc_scale)
+    changed = False
+    for g, grp in enumerate(cfg.re_groups):
+        if grp.random_type == "A":
+            k = len(grp.starts)
+            vc_scale[g] = accum.vc_m[g] * (grp.df - k - 1.0)
+            changed = True
+    if changed:
+        fields["vc_scale"] = tuple(vc_scale)
+    fields["scale_R"] = accum.R_m * (cfg.df_residual - 2.0) / cfg.df_residual
+    return data._replace(**fields)
+
+
 def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
     ws = prepare_workspace(model, df, opts)
     cfg, data, state = build_mt_data_and_state(ws, opts, dtype)
@@ -812,8 +834,15 @@ def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
 
     samples = {"R": [], "varg": [], "pi": [], "genvar": [], "h2": [],
                "lam": [], "alpha": []}
-    for _ in range(n_saved):
+    upf = int(opts.update_priors_frequency or 0)
+    prior_epoch = 0
+    for w in range(n_saved):
         state, accum, out = run_window(state, data, accum, thin_outer, accumulate=True)
+        if upf > 0:
+            iters_done = (burnin_outer + (w + 1) * thin_outer) * nreps
+            if iters_done // upf > prior_epoch:
+                prior_epoch = iters_done // upf
+                data = _apply_update_priors_mt(cfg, data, accum)
         for k_, v in (("R", out.R), ("varg", out.varg), ("pi", out.pi),
                       ("genvar", out.genvar), ("h2", out.h2)):
             samples[k_].append(np.asarray(v))

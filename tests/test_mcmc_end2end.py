@@ -106,3 +106,25 @@ def test_fixed_effects_and_covariates():
     assert abs((sex_m - sex_f) - 3.0) < 1.0
     acc = _ebv_accuracy(out)
     assert acc > 0.5
+
+
+def test_update_priors_frequency():
+    """Empirical-Bayes prior refresh (MCMC_BayesianAlphabet.jl:381-395):
+    the chain still mixes and recovers breeding values with priors being
+    re-centered on running posterior means during sampling."""
+    geno = get_genotypes(SIM["genotypes"], method="BayesC", name="geno")
+    model = build_model("y = intercept + geno", genotypes=geno)
+    out = runMCMC(
+        model,
+        SIM["phenotypes"],
+        chain_length=600,
+        burnin=100,
+        output_samples_frequency=10,
+        seed=314,
+        update_priors_frequency=100,
+        output_folder="",
+    )
+    acc = _ebv_accuracy(out)
+    assert acc > 0.55, f"update_priors: EBV accuracy {acc:.3f}"
+    vare = out["residual variance"]["Estimate"].iloc[0]
+    assert 0.1 < vare < 100.0

@@ -83,3 +83,23 @@ def test_mt_residual_covariance_recovery():
     Re = sim["Re"]
     assert abs(rv["y1_y2"] - Re[0, 1]) < max(1.0, 0.6 * abs(Re[0, 1]) + 0.5)
     assert 0.3 * Re[0, 0] < rv["y1_y1"] < 3.0 * Re[0, 0]
+
+
+def test_mt_update_priors_frequency():
+    """MT empirical-Bayes prior refresh (MCMC_BayesianAlphabet.jl:381-395)."""
+    import numpy as np
+
+    from jwas_tpu import build_model, get_genotypes, runMCMC
+    from jwas_tpu.io.datasets import simulate_genomic_data_mt
+
+    sim = simulate_genomic_data_mt(n=300, p=200, n_qtl=15, seed=5)
+    geno = get_genotypes(sim["genotypes"], method="BayesC", name="geno")
+    model = build_model("y1 = intercept + geno\ny2 = intercept + geno",
+                        genotypes=geno)
+    out = runMCMC(
+        model, sim["phenotypes"], chain_length=400, burnin=80,
+        output_samples_frequency=10, seed=7, update_priors_frequency=100,
+        output_folder="",
+    )
+    R = out["residual variance"]
+    assert np.all(np.isfinite(R["Estimate"].to_numpy(dtype=float)))
