@@ -94,10 +94,12 @@ def main():
     W = jnp.ones((n, K), dtype)
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    sync_every = int(os.environ.get("BENCH_SYNC", min(8, nreps)))
     cfg = STEngineCfg(
         method="BayesC", n_obs=n, n_markers=p, n_loc=K,
         estimate_pi=True, estimate_marker_variance=True, estimate_scale=False,
         estimate_residual_variance=True, use_blocks=True, nreps=nreps,
+        sync_every=sync_every,
         re_groups=(), df_residual=4.0, df_marker=4.0, has_weights=False,
         use_pallas=use_pallas and (p // block) % 128 == 0,
         scale_R=vary_analytic * 0.5,
@@ -147,8 +149,8 @@ def main():
         )
     )
     print(
-        f"# n={n} p={p} block={block} nreps={nreps} outer={n_outer} "
-        f"wall={dt:.2f}s sweeps/s={nreps*n_outer/dt:.2f} "
+        f"# n={n} p={p} block={block} nreps={nreps} sync={sync_every} "
+        f"outer={n_outer} wall={dt:.2f}s sweeps/s={nreps*n_outer/dt:.2f} "
         f"vs_single_core_nonblock={rate/SINGLE_CORE_NONBLOCK:.0f}x "
         f"pallas={use_pallas} device={jax.devices()[0]}",
         file=sys.stderr,

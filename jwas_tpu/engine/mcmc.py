@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from jwas_tpu.engine.setup import MCMCOptions, Workspace, prepare_workspace
+from jwas_tpu.engine.setup import (MCMCOptions, Workspace, prepare_workspace,
+                                   resolve_sync_every as _resolve_sync)
 from jwas_tpu.engine.state import ChainState, EngineCfg, REGroupCfg
 from jwas_tpu.models.model import Model
 from jwas_tpu.ops import markers as mk
@@ -163,7 +164,7 @@ def make_st_step(cfg: EngineCfg):
             )
             alpha, beta, delta, ycorr = sweep_blocks_abc_packed(
                 pm, alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
-                k_mark, nreps=cfg.nreps,
+                k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
             )
         elif cfg.method in ("BayesC", "BayesB") and cfg.use_pallas:
             from jwas_tpu.ops.pallas_sweep import sweep_blocks_abc_pallas
@@ -172,7 +173,8 @@ def make_st_step(cfg: EngineCfg):
             alpha, beta, delta, ycorr = sweep_blocks_abc_pallas(
                 mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
                 alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
-                k_mark, nreps=cfg.nreps, interpret=interp,
+                k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                interpret=interp,
             )
         elif cfg.method in ("BayesC", "BayesB"):
             var_eff = varg if cfg.method == "BayesB" else varg
@@ -180,7 +182,7 @@ def make_st_step(cfg: EngineCfg):
                 alpha, beta, delta, ycorr = mk.sweep_blocks_abc(
                     mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
                     alpha, beta, delta, ycorr, rinv, state.vare, var_eff, pi,
-                    k_mark, nreps=cfg.nreps,
+                    k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
                 )
             else:
                 alpha, beta, delta, ycorr = mk.sweep_exact_abc(
@@ -192,7 +194,7 @@ def make_st_step(cfg: EngineCfg):
                 alpha, ycorr = mk.sweep_blocks_c0l(
                     mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
                     alpha, ycorr, rinv, state.vare, varg, gamma_l, k_mark,
-                    nreps=cfg.nreps,
+                    nreps=cfg.nreps, sync_every=cfg.sync_every,
                 )
             else:
                 alpha, ycorr = mk.sweep_exact_c0l(
@@ -212,7 +214,7 @@ def make_st_step(cfg: EngineCfg):
                 alpha, delta, ycorr = mk.sweep_blocks_bayesr(
                     mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
                     alpha, delta, ycorr, rinv, state.vare, varg, pi_mat, k_mark,
-                    nreps=cfg.nreps,
+                    nreps=cfg.nreps, sync_every=cfg.sync_every,
                 )
             else:
                 alpha, delta, ycorr = mk.sweep_exact_bayesr(
@@ -708,6 +710,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         and trait_type not in ("categorical", "categorical(binary)"),
         use_blocks=use_blocks,
         nreps=nreps,
+        sync_every=_resolve_sync(opts, nreps),
         re_groups=tuple(re_cfgs),
         df_residual=float(ws.df_R),
         df_marker=float(ws.df_marker),

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from jwas_tpu.engine.setup import Workspace, prepare_workspace
+from jwas_tpu.engine.setup import (Workspace, prepare_workspace,
+                                   resolve_sync_every as _resolve_sync)
 from jwas_tpu.engine.state import EngineCfg, MTChainState, REGroupCfg
 from jwas_tpu.ops import markers as mk
 from jwas_tpu.ops import multitrait as mt
@@ -211,7 +212,8 @@ def make_mt_step(cfg: MTEngineCfg):
                 kt = jax.random.split(k_mark, t)
                 if cfg.use_blocks:
                     f = lambda a, b_, d, yc, ve, vg, pv, k2: mk.sweep_blocks_abc(
-                        md, a, b_, d, yc, rinv, ve, vg, pv, k2, nreps=cfg.nreps
+                        md, a, b_, d, yc, rinv, ve, vg, pv, k2,
+                        nreps=cfg.nreps, sync_every=cfg.sync_every
                     )
                 else:
                     f = lambda a, b_, d, yc, ve, vg, pv, k2: mk.sweep_exact_abc(
@@ -232,7 +234,7 @@ def make_mt_step(cfg: MTEngineCfg):
                 if cfg.use_blocks:
                     alpha, beta, delta, ycorr = sweep(
                         md, alpha, beta, delta, ycorr, rinv, R, ginv, pi, k_mark,
-                        nreps=cfg.nreps,
+                        nreps=cfg.nreps, sync_every=cfg.sync_every,
                     )
                 else:
                     alpha, beta, delta, ycorr = sweep(
@@ -244,7 +246,8 @@ def make_mt_step(cfg: MTEngineCfg):
                 kt = jax.random.split(k_mark, t)
                 if cfg.use_blocks:
                     f = lambda a, yc, ve, vg, k2: mk.sweep_blocks_c0l(
-                        md, a, yc, rinv, ve, vg, gamma_l, k2, nreps=cfg.nreps
+                        md, a, yc, rinv, ve, vg, gamma_l, k2,
+                        nreps=cfg.nreps, sync_every=cfg.sync_every
                     )
                 else:
                     f = lambda a, yc, ve, vg, k2: mk.sweep_exact_c0l(
@@ -258,7 +261,7 @@ def make_mt_step(cfg: MTEngineCfg):
                 if cfg.use_blocks:
                     alpha, ycorr = mt.mt_c0l_blocks(
                         md, alpha, ycorr, rinv, R, ginv, gamma_l, k_mark,
-                        nreps=cfg.nreps,
+                        nreps=cfg.nreps, sync_every=cfg.sync_every,
                     )
                 else:
                     alpha, ycorr = mt.mt_c0l_exact(
@@ -696,7 +699,8 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         estimate_marker_variance=bool(g.G.estimate_variance) if g is not None else False,
         estimate_scale=False,
         estimate_residual_variance=bool(model.R.estimate_variance),
-        use_blocks=use_blocks, nreps=nreps, re_groups=tuple(re_cfgs),
+        use_blocks=use_blocks, nreps=nreps,
+        sync_every=_resolve_sync(opts, nreps), re_groups=tuple(re_cfgs),
         df_residual=df_R, df_marker=df_marker,
         has_weights=ws.rinv is not None, n_traits=t,
         constraint=constraint,

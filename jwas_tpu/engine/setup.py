@@ -60,6 +60,22 @@ class MCMCOptions:
     memory_guard_ratio: float = 0.9
     n_chains: int = 1                   # parallel chains (vmapped; P6 analogue)
     use_pallas: bool = False            # Pallas kernel for the blocked sweep
+    sync_every: Optional[int] = None    # inner reps between residual syncs in
+                                        # the blocked sweeps (default min(8, nreps))
+    independent_blocks: bool = False    # reference's fully-amortized approximate
+                                        # block mode (sync only once per outer
+                                        # iteration; BayesABC.jl:190-255)
+
+
+def resolve_sync_every(opts: "MCMCOptions", nreps: int) -> int:
+    """Final sync-round length for the blocked sweeps: the reference's
+    independent_blocks mode amortizes over all nreps; default bounds
+    cross-block staleness at 8 inner reps (ops/markers.py module docs)."""
+    if opts.independent_blocks:
+        return nreps
+    if opts.sync_every is not None:
+        return max(1, min(int(opts.sync_every), nreps))
+    return min(8, nreps)
 
 
 @dataclass

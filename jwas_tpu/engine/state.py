@@ -85,6 +85,9 @@ class EngineCfg:
     df_residual: float
     df_marker: float
     has_weights: bool
+    sync_every: int = 8        # inner reps between exact residual syncs in the
+                               # blocked sweeps (= nreps reproduces the
+                               # reference's independent_blocks approximate mode)
     n_traits: int = 1
     constraint: bool = False   # diagonal covariance constraint (multi-trait)
     missing_phenotypes: bool = False

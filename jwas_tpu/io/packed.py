@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 
 _LIB = None
 _LIB_TRIED = False
@@ -67,6 +68,8 @@ def _native_lib() -> Optional[ctypes.CDLL]:
     )
     lib.jwas_scan_stats.argtypes = [f32p, i64, i64, ctypes.c_float, f64p, f64p, i64p]
     lib.jwas_pack_2bit.argtypes = [f32p, i64, i64, ctypes.c_float, u8p]
+    lib.jwas_scan_stats_accum.argtypes = [f32p, i64, i64, ctypes.c_float, f64p, i64p]
+    lib.jwas_pack_tile_transposed.argtypes = [f32p, i64, i64, ctypes.c_float, u8p]
     lib.jwas_decode_markers.argtypes = [u8p, i64, i64, i64p, i64, f64p,
                                         ctypes.c_int, f32p]
     lib.jwas_packed_xtw.argtypes = [u8p, i64, i64, i64, f64p, f32p, f32p]
@@ -173,13 +176,33 @@ def prepare_packed_genotypes(
     missing_value: float = 9.0,
     MAF: float = 0.0,
     save_path: Optional[str] = None,
+    low_memory: bool = False,
+    chunk_rows: int = 8192,
+    disk_guard_ratio: float = 0.95,
 ) -> Packed2BitStore:
     """Convert genotypes (file/DataFrame/array) into a 2-bit packed store
     (prepare_streaming_genotypes, streaming_genotypes.jl:819-877).
 
-    One stats pass + one packing pass, both in C++ when available. MAF > 0
-    drops low-frequency and fixed loci like the dense QC path.
+    Default (dense) mode: one stats pass + one packing pass over an in-memory
+    matrix, both in C++ when available. MAF > 0 drops low-frequency and fixed
+    loci like the dense QC path.
+
+    low_memory=True is the out-of-core mode (the reference's :lowmem path,
+    streaming_genotypes.jl:658-789): the CSV is read twice in row chunks —
+    pass 1 accumulates per-marker stats, pass 2 packs each 4-row-aligned chunk
+    straight into its disjoint byte range of a disk-backed marker-major store
+    (no row-major spool; no dense matrix is ever materialized). Peak memory is
+    O(chunk_rows x p). Requires a file path input and save_path; the returned
+    store's `packed` array is a read-only memmap of the published .j2b file.
+    A disk guard rejects conversions that would exceed `disk_guard_ratio` of
+    the free space on save_path's filesystem (streaming_genotypes.jl:167-202).
     """
+    if low_memory:
+        return _prepare_packed_low_memory(
+            file, separator=separator, header=header,
+            missing_value=missing_value, MAF=MAF, save_path=save_path,
+            chunk_rows=chunk_rows, disk_guard_ratio=disk_guard_ratio,
+        )
     from jwas_tpu.io.genotypes import _read_genotype_input
 
     obs_ids, marker_ids, mat = _read_genotype_input(file, separator, header,
@@ -233,6 +256,127 @@ def prepare_packed_genotypes(
     if save_path:
         store.save(save_path)
     return store
+
+
+def _iter_csv_chunks(file: str, separator: str, header: bool, chunk_rows: int):
+    """Yield (obs_ids_chunk, float32 matrix chunk) over a genotype CSV."""
+    reader = pd.read_csv(
+        file, sep=separator, header=0 if header else None, chunksize=chunk_rows
+    )
+    for chunk in reader:
+        ids = [str(x).strip() for x in chunk.iloc[:, 0]]
+        yield ids, np.ascontiguousarray(chunk.iloc[:, 1:].to_numpy(np.float32))
+
+
+def _prepare_packed_low_memory(
+    file, *, separator, header, missing_value, MAF, save_path,
+    chunk_rows, disk_guard_ratio,
+) -> Packed2BitStore:
+    """Two-pass out-of-core conversion; see prepare_packed_genotypes."""
+    if not isinstance(file, str):
+        raise TypeError("low_memory=True requires a genotype file path")
+    if not save_path:
+        raise ValueError("low_memory=True requires save_path")
+    chunk_rows = max(4, (int(chunk_rows) // 4) * 4)  # 4-row-aligned chunks
+
+    # --- pass 1: header + per-marker stats (means, freqs, missing) ---
+    head = pd.read_csv(file, sep=separator, header=0 if header else None, nrows=1)
+    if header:
+        marker_ids = [str(c) for c in head.columns[1:]]
+    else:
+        marker_ids = [str(i + 1) for i in range(head.shape[1] - 1)]
+    p = len(marker_ids)
+
+    lib = _native_lib()
+    sums = np.zeros(p, dtype=np.float64)
+    nmiss = np.zeros(p, dtype=np.int64)
+    obs_ids: List[str] = []
+    for ids, mat in _iter_csv_chunks(file, separator, header, chunk_rows):
+        obs_ids.extend(ids)
+        if lib is not None:
+            lib.jwas_scan_stats_accum(
+                mat, mat.shape[0], p, np.float32(missing_value), sums, nmiss
+            )
+        else:
+            miss = (mat == np.float32(missing_value)) | np.isnan(mat)
+            sums += np.where(miss, 0.0, mat).sum(axis=0, dtype=np.float64)
+            nmiss += miss.sum(axis=0)
+    n = len(obs_ids)
+    cnt = np.maximum(n - nmiss, 1)
+    means = sums / cnt
+    freqs = means / 2.0
+
+    keep = np.ones(p, dtype=bool)
+    if MAF > 0:
+        var_proxy = freqs * (1.0 - freqs)
+        keep = (freqs > MAF) & (freqs < 1 - MAF) & (var_proxy > 0)
+    kept_idx = np.flatnonzero(keep)
+    p_keep = int(kept_idx.size)
+    kept_marker_ids = [marker_ids[int(j)] for j in kept_idx]
+
+    # --- disk guard (streaming_genotypes.jl:167-202) ---
+    bpm = (n + 3) // 4
+    need = p_keep * bpm
+    free = os.statvfs(os.path.dirname(os.path.abspath(save_path)) or ".").f_bavail
+    free *= os.statvfs(os.path.dirname(os.path.abspath(save_path)) or ".").f_frsize
+    if need > disk_guard_ratio * free:
+        raise RuntimeError(
+            f"packed store needs {need/1e9:.2f} GB but only {free/1e9:.2f} GB "
+            f"free (disk_guard_ratio={disk_guard_ratio}); free space or lower MAF"
+        )
+
+    # --- pass 2: pack 4-aligned row chunks into disjoint byte ranges ---
+    tmp = save_path + ".j2b.tmp"
+    mm = np.memmap(tmp, dtype=np.uint8, mode="w+", shape=(p_keep, bpm))
+    row0 = 0
+    for _, mat in _iter_csv_chunks(file, separator, header, chunk_rows):
+        rows = mat.shape[0]
+        if p_keep != p:
+            mat = np.ascontiguousarray(mat[:, kept_idx])
+        bpt = (rows + 3) // 4
+        tile = np.empty((p_keep, bpt), dtype=np.uint8)
+        if lib is not None:
+            lib.jwas_pack_tile_transposed(
+                mat, rows, p_keep, np.float32(missing_value), tile.reshape(-1)
+            )
+        else:
+            codes = np.where(
+                (mat == np.float32(missing_value)) | np.isnan(mat),
+                3, np.clip(np.rint(mat), 0, 2),
+            ).astype(np.uint8)
+            tile = _pack_numpy(codes)
+        b0 = row0 // 4
+        mm[:, b0 : b0 + bpt] = tile
+        row0 += rows
+    mm.flush()
+    del mm
+
+    # --- atomic publish: manifest first to tmp, then both renamed ---
+    manifest = {
+        "format": "jwas_tpu-2bit-v1",
+        "n_obs": n,
+        "n_markers": p_keep,
+        "obs_ids": obs_ids,
+        "marker_ids": kept_marker_ids,
+        "means": means[keep].tolist(),
+        "allele_freq": freqs[keep].tolist(),
+    }
+    mtmp = save_path + ".manifest.json.tmp"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, save_path + ".j2b")
+    os.replace(mtmp, save_path + ".manifest.json")
+
+    return Packed2BitStore(
+        obs_ids=obs_ids,
+        marker_ids=kept_marker_ids,
+        packed=np.memmap(save_path + ".j2b", dtype=np.uint8, mode="r",
+                         shape=(p_keep, bpm)),
+        means=means[keep],
+        allele_freq=freqs[keep],
+        n_obs=n,
+        n_markers=p_keep,
+    )
 
 
 def _pack_numpy(codes: np.ndarray) -> np.ndarray:

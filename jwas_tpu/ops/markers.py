@@ -15,12 +15,21 @@ execution model is rebuilt for XLA:
   size `b`; per block the RHS vector X_b' R^-1 ycorr and the Gram tile
   X_b' R^-1 X_b are used so the inner chain touches only O(b) state per step.
   All blocks advance **in parallel** (one scan step updates marker j of every
-  block simultaneously, vectorized across the block axis), with the shared
-  residual reconciled by one GEMM per round — the reference's documented
-  `independent_blocks=true` semantics (BayesABC.jl:190-255), which is exact
-  when X_b' W X_c = 0 and a controlled approximation otherwise. With `nreps`
-  inner repetitions per round, one outer iteration advances the chain by
-  `nreps` effective sweeps (JWAS.jl:293-316 chain-length rescaling).
+  block simultaneously, vectorized across the block axis) — the reference's
+  documented `independent_blocks=true` semantics (BayesABC.jl:190-255), which
+  is exact when X_b' W X_c = 0 and a controlled approximation otherwise.
+
+  **Residual sync rounds**: cross-block staleness grows with the number of
+  inner repetitions run against a frozen residual — left unchecked it biases
+  the posterior (measured: EBV accuracy 0.85 vs 0.95 at p=200, nreps=128,
+  2 blocks). The sweep therefore splits its `nreps` inner repetitions into
+  rounds of `sync_every` reps; between rounds the shared residual is
+  reconciled exactly (ycorr += X @ d_alpha; block RHS recomputed from the
+  fresh residual). sync_every=8 is empirically indistinguishable from
+  per-rep sync on EBV accuracy while amortizing the two O(n*p) GEMVs over 8
+  effective sweeps; sync_every=None (or nreps) reproduces the reference's
+  fully-amortized approximate mode. One outer iteration still advances the
+  chain by `nreps` effective sweeps (JWAS.jl:293-316 chain-length rescaling).
 
 Masking convention: markers are padded to nblocks*b. Padded columns are all
 zero with xpx = 0 and prior inclusion probability pi = 1 (always excluded), so
@@ -177,6 +186,39 @@ def _blocked_round(md: MarkerBlocks, step_fn, carry0, keys_shape_draws, nreps, b
     return carry
 
 
+def resolve_sync_every(nreps: int, sync_every) -> int:
+    """Static resolution of the sync-round length (None/0 => fully amortized)."""
+    if sync_every is None or int(sync_every) <= 0:
+        return nreps
+    return max(1, min(int(sync_every), nreps))
+
+
+def _sync_rounds(nreps: int, sync_every, key, round_fn, state):
+    """Drive `round_fn(state, key_r, reps) -> state` in residual-sync rounds.
+
+    Splits nreps into `nreps // sync_every` equal rounds (lax.scan when >1)
+    plus a remainder round; each round reconciles the shared residual so
+    cross-block staleness is bounded by `sync_every` inner reps. Per-round
+    keys come from fold_in(key, round_index) — deterministic and identical
+    across the XLA / Pallas / packed implementations.
+    """
+    se = resolve_sync_every(nreps, sync_every)
+    n_full = nreps // se
+    rem = nreps - n_full * se
+    if n_full == 1 and rem == 0:
+        return round_fn(state, jax.random.fold_in(key, 0), se)
+    if n_full > 0:
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_full))
+
+        def body(s, kr):
+            return round_fn(s, kr, se), None
+
+        state, _ = jax.lax.scan(body, state, keys)
+    if rem:
+        state = round_fn(state, jax.random.fold_in(key, n_full), rem)
+    return state
+
+
 def _to_jmajor(x, nblocks, b):
     """(p_pad,) -> (b, nblocks): within-block index leading, block index minor."""
     return x.reshape(nblocks, b).T
@@ -187,13 +229,15 @@ def _from_jmajor(x):
     return x.T.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("nreps",))
+@partial(jax.jit, static_argnames=("nreps", "sync_every"))
 def sweep_blocks_abc(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
-                     var_eff, pi, key, nreps: int = 1):
+                     var_eff, pi, key, nreps: int = 1, sync_every=None):
     """Fast-blocks BayesA/B/C sweep, all blocks in parallel.
 
     alpha/beta: (p_pad,); delta: (p_pad,) int32; ycorr: (n,);
     var_eff: scalar (BayesC) or (p_pad,) (BayesB); pi: (p_pad,) P(excluded).
+    sync_every: inner reps between exact residual reconciliations (None =>
+    all nreps run against a frozen residual, the fully-amortized mode).
     Returns (alpha, beta, delta, ycorr).
     """
     b, _, nblocks = md.grams.shape
@@ -206,18 +250,6 @@ def sweep_blocks_abc(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
     log_pi = _to_jmajor(jnp.log(pi_c), nblocks, b)
     log_pi_comp = _to_jmajor(jnp.log1p(-pi_c + 1e-12), nblocks, b)
     xpx_b = _to_jmajor(md.xpx, nblocks, b)
-
-    w = ycorr if rinv is None else rinv * ycorr
-    rhs0 = _to_jmajor(md.X.T @ w, nblocks, b)
-
-    ku, kz = jax.random.split(key)
-    us = jax.random.uniform(ku, (nreps * b, nblocks), dtype=dtype)
-    zs = jax.random.normal(kz, (nreps * b, nblocks), dtype=dtype)
-
-    alpha_b = _to_jmajor(alpha, nblocks, b)
-    beta_b = _to_jmajor(beta, nblocks, b)
-    delta_b = _to_jmajor(delta, nblocks, b)
-    alpha_start = alpha_b
 
     def step(carry, inp):
         alpha_b, beta_b, delta_b, rhs_b = carry
@@ -235,17 +267,31 @@ def sweep_blocks_abc(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
             rhs_b,
         )
 
-    alpha_b, beta_b, delta_b, _ = _blocked_round(
-        md, step, (alpha_b, beta_b, delta_b, rhs0), (us, zs), nreps, b
+    def round_fn(stt, kr, reps):
+        alpha_b, beta_b, delta_b, ycorr = stt
+        w = ycorr if rinv is None else rinv * ycorr
+        rhs0 = _to_jmajor(md.X.T @ w, nblocks, b)
+        ku, kz = jax.random.split(kr)
+        us = jax.random.uniform(ku, (reps * b, nblocks), dtype=dtype)
+        zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
+        alpha_start = alpha_b
+        alpha_b, beta_b, delta_b, _ = _blocked_round(
+            md, step, (alpha_b, beta_b, delta_b, rhs0), (us, zs), reps, b
+        )
+        ycorr = ycorr + md.X @ _from_jmajor(alpha_start - alpha_b)
+        return (alpha_b, beta_b, delta_b, ycorr)
+
+    alpha_b, beta_b, delta_b, ycorr = _sync_rounds(
+        nreps, sync_every, key, round_fn,
+        (_to_jmajor(alpha, nblocks, b), _to_jmajor(beta, nblocks, b),
+         _to_jmajor(delta, nblocks, b), ycorr),
     )
-    d_alpha = _from_jmajor(alpha_start - alpha_b)
-    ycorr = ycorr + md.X @ d_alpha
     return _from_jmajor(alpha_b), _from_jmajor(beta_b), _from_jmajor(delta_b), ycorr
 
 
-@partial(jax.jit, static_argnames=("nreps",))
+@partial(jax.jit, static_argnames=("nreps", "sync_every"))
 def sweep_blocks_c0l(md: MarkerBlocks, alpha, ycorr, rinv, vare, var_eff,
-                     gamma_arr, key, nreps: int = 1):
+                     gamma_arr, key, nreps: int = 1, sync_every=None):
     """Fast-blocks RR-BLUP / BayesL sweep (blocked form of BayesC0L.jl:25-47).
 
     gamma_arr: (p_pad,) BayesL local shrinkage (ones for RR-BLUP).
@@ -257,13 +303,6 @@ def sweep_blocks_c0l(md: MarkerBlocks, alpha, ycorr, rinv, vare, var_eff,
     xpx_b = _to_jmajor(md.xpx, nblocks, b)
     valid_b = _to_jmajor(md.valid, nblocks, b)
 
-    w = ycorr if rinv is None else rinv * ycorr
-    rhs0 = _to_jmajor(md.X.T @ w, nblocks, b)
-    zs = jax.random.normal(key, (nreps * b, nblocks), dtype=dtype)
-
-    alpha_b = _to_jmajor(alpha, nblocks, b)
-    alpha_start = alpha_b
-
     def step(carry, inp):
         alpha_b, rhs_b = carry
         j, z = inp
@@ -272,15 +311,25 @@ def sweep_blocks_c0l(md: MarkerBlocks, alpha, ycorr, rinv, vare, var_eff,
         rhs_b = rhs_b + (a_j - a_new)[None, :] * md.grams[j]
         return (alpha_b.at[j].set(a_new), rhs_b)
 
-    alpha_b, _ = _blocked_round(md, step, (alpha_b, rhs0), (zs,), nreps, b)
-    d_alpha = _from_jmajor(alpha_start - alpha_b)
-    ycorr = ycorr + md.X @ d_alpha
+    def round_fn(stt, kr, reps):
+        alpha_b, ycorr = stt
+        w = ycorr if rinv is None else rinv * ycorr
+        rhs0 = _to_jmajor(md.X.T @ w, nblocks, b)
+        zs = jax.random.normal(kr, (reps * b, nblocks), dtype=dtype)
+        alpha_start = alpha_b
+        alpha_b, _ = _blocked_round(md, step, (alpha_b, rhs0), (zs,), reps, b)
+        ycorr = ycorr + md.X @ _from_jmajor(alpha_start - alpha_b)
+        return (alpha_b, ycorr)
+
+    alpha_b, ycorr = _sync_rounds(
+        nreps, sync_every, key, round_fn, (_to_jmajor(alpha, nblocks, b), ycorr)
+    )
     return _from_jmajor(alpha_b), ycorr
 
 
-@partial(jax.jit, static_argnames=("nreps",))
+@partial(jax.jit, static_argnames=("nreps", "sync_every"))
 def sweep_blocks_bayesr(md: MarkerBlocks, alpha, delta, ycorr, rinv, vare,
-                        sigma_sq, pi, key, nreps: int = 1):
+                        sigma_sq, pi, key, nreps: int = 1, sync_every=None):
     """Fast-blocks BayesR sweep (blocked form of BayesR.jl:99-193).
 
     pi: (p_pad, 4) per-marker class priors (broadcast the global pi in setup;
@@ -295,17 +344,6 @@ def sweep_blocks_bayesr(md: MarkerBlocks, alpha, delta, ycorr, rinv, vare,
     )  # (b, nblocks, 4)
     xpx_b = _to_jmajor(md.xpx, nblocks, b)
 
-    w = ycorr if rinv is None else rinv * ycorr
-    rhs0 = _to_jmajor(md.X.T @ w, nblocks, b)
-
-    kg, kz = jax.random.split(key)
-    gum = jax.random.gumbel(kg, (nreps * b, nblocks, 4), dtype=dtype)
-    zs = jax.random.normal(kz, (nreps * b, nblocks), dtype=dtype)
-
-    alpha_b = _to_jmajor(alpha, nblocks, b)
-    delta_b = _to_jmajor(delta, nblocks, b)
-    alpha_start = alpha_b
-
     def step(carry, inp):
         alpha_b, delta_b, rhs_b = carry
         j, g, z = inp
@@ -316,9 +354,24 @@ def sweep_blocks_bayesr(md: MarkerBlocks, alpha, delta, ycorr, rinv, vare,
         rhs_b = rhs_b + (a_j - a_new)[None, :] * md.grams[j]
         return (alpha_b.at[j].set(a_new), delta_b.at[j].set(k_new), rhs_b)
 
-    alpha_b, delta_b, _ = _blocked_round(md, step, (alpha_b, delta_b, rhs0), (gum, zs), nreps, b)
-    d_alpha = _from_jmajor(alpha_start - alpha_b)
-    ycorr = ycorr + md.X @ d_alpha
+    def round_fn(stt, kr, reps):
+        alpha_b, delta_b, ycorr = stt
+        w = ycorr if rinv is None else rinv * ycorr
+        rhs0 = _to_jmajor(md.X.T @ w, nblocks, b)
+        kg, kz = jax.random.split(kr)
+        gum = jax.random.gumbel(kg, (reps * b, nblocks, 4), dtype=dtype)
+        zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
+        alpha_start = alpha_b
+        alpha_b, delta_b, _ = _blocked_round(
+            md, step, (alpha_b, delta_b, rhs0), (gum, zs), reps, b
+        )
+        ycorr = ycorr + md.X @ _from_jmajor(alpha_start - alpha_b)
+        return (alpha_b, delta_b, ycorr)
+
+    alpha_b, delta_b, ycorr = _sync_rounds(
+        nreps, sync_every, key, round_fn,
+        (_to_jmajor(alpha, nblocks, b), _to_jmajor(delta, nblocks, b), ycorr),
+    )
     return _from_jmajor(alpha_b), _from_jmajor(delta_b), ycorr
 
 

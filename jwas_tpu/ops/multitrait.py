@@ -131,15 +131,27 @@ def _mt_abc_marker_update_I(w, beta, delta, alpha, xpx_j, Rinv, Ginv_j,
     return beta, delta, new_alpha
 
 
-@partial(jax.jit, static_argnames=("nreps",))
+def _mt_to_j(x, nblocks, b):  # (t, p_pad) -> (b, t, nblocks)
+    t = x.shape[0]
+    return x.reshape(t, nblocks, b).transpose(2, 0, 1)
+
+
+def _mt_from_j(x):  # (b, t, nblocks) -> (t, p_pad)
+    return x.transpose(1, 2, 0).reshape(x.shape[1], -1)
+
+
+@partial(jax.jit, static_argnames=("nreps", "sync_every"))
 def mt_abc_blocks_I(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
-                    ginv, pi, key, nreps: int = 1):
-    """Blocked multi-trait sampler I; all blocks in parallel.
+                    ginv, pi, key, nreps: int = 1, sync_every=None):
+    """Blocked multi-trait sampler I; all blocks in parallel, residual
+    reconciled every `sync_every` inner reps (see markers._sync_rounds).
 
     alpha/beta/delta: (t, p_pad); ycorr: (t, n); vare: (t, t);
     ginv: (t, t) inverse marker-effect covariance (common across markers);
     pi: (2^t,) pattern priors (padded markers handled by masking alpha).
     """
+    from jwas_tpu.ops.markers import _sync_rounds
+
     b, _, nblocks = md.grams.shape
     t = alpha.shape[0]
     dtype = ycorr.dtype
@@ -147,24 +159,6 @@ def mt_abc_blocks_I(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
     log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0))
     xpx_b = md.xpx.reshape(nblocks, b).T                      # (b, nblocks)
     valid_b = md.valid.reshape(nblocks, b).T
-
-    w_r = ycorr if rinv is None else ycorr * rinv[None, :]
-    rhs0 = jnp.einsum("np,tn->tp", md.X, w_r)                  # (t, p_pad)
-    rhs0 = rhs0.reshape(t, nblocks, b).transpose(2, 0, 1)      # (b, t, nblocks)
-
-    def to_j(x):  # (t, p_pad) -> (b, t, nblocks)
-        return x.reshape(t, nblocks, b).transpose(2, 0, 1)
-
-    def from_j(x):  # (b, t, nblocks) -> (t, p_pad)
-        return x.transpose(1, 2, 0).reshape(t, -1)
-
-    alpha_j, beta_j, delta_j = to_j(alpha), to_j(beta), to_j(delta)
-    alpha_start = alpha_j
-
-    ku, kz = jax.random.split(key)
-    us = jax.random.uniform(ku, (nreps * b, t, nblocks), dtype=dtype)
-    zs = jax.random.normal(kz, (nreps * b, t, nblocks), dtype=dtype)
-    idx = jnp.tile(jnp.arange(b), nreps)
 
     def step(carry, inp):
         alpha_j, beta_j, delta_j, rhs_j = carry
@@ -182,12 +176,28 @@ def mt_abc_blocks_I(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
             delta_j.at[j].set(d_new), rhs_j,
         ), None
 
-    (alpha_j, beta_j, delta_j, _), _ = jax.lax.scan(
-        step, (alpha_j, beta_j, delta_j, rhs0), (idx, us, zs), unroll=2
+    def round_fn(stt, kr, reps):
+        alpha_j, beta_j, delta_j, ycorr = stt
+        w_r = ycorr if rinv is None else ycorr * rinv[None, :]
+        rhs0 = _mt_to_j(jnp.einsum("np,tn->tp", md.X, w_r), nblocks, b)
+        ku, kz = jax.random.split(kr)
+        us = jax.random.uniform(ku, (reps * b, t, nblocks), dtype=dtype)
+        zs = jax.random.normal(kz, (reps * b, t, nblocks), dtype=dtype)
+        idx = jnp.tile(jnp.arange(b), reps)
+        alpha_start = alpha_j
+        (alpha_j, beta_j, delta_j, _), _ = jax.lax.scan(
+            step, (alpha_j, beta_j, delta_j, rhs0), (idx, us, zs), unroll=2
+        )
+        d_alpha = _mt_from_j(alpha_start - alpha_j)            # (t, p_pad)
+        ycorr = ycorr + jnp.einsum("np,tp->tn", md.X, d_alpha)
+        return (alpha_j, beta_j, delta_j, ycorr)
+
+    alpha_j, beta_j, delta_j, ycorr = _sync_rounds(
+        nreps, sync_every, key, round_fn,
+        (_mt_to_j(alpha, nblocks, b), _mt_to_j(beta, nblocks, b),
+         _mt_to_j(delta, nblocks, b), ycorr),
     )
-    d_alpha = from_j(alpha_start - alpha_j)                    # (t, p_pad)
-    ycorr = ycorr + jnp.einsum("np,tp->tn", md.X, d_alpha)
-    return from_j(alpha_j), from_j(beta_j), from_j(delta_j), ycorr
+    return _mt_from_j(alpha_j), _mt_from_j(beta_j), _mt_from_j(delta_j), ycorr
 
 
 @jax.jit
@@ -260,10 +270,12 @@ def _mt_abc_marker_update_II(w, xpx_j, Rinv, Ginv, log_pi, patterns, gum, z):
     return beta.T, delta.T.astype(w.dtype), alpha.T
 
 
-@partial(jax.jit, static_argnames=("nreps",))
+@partial(jax.jit, static_argnames=("nreps", "sync_every"))
 def mt_abc_blocks_II(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
-                     ginv, pi, key, nreps: int = 1):
+                     ginv, pi, key, nreps: int = 1, sync_every=None):
     """Blocked multi-trait sampler II (joint 2^t-state update)."""
+    from jwas_tpu.ops.markers import _sync_rounds
+
     b, _, nblocks = md.grams.shape
     t = alpha.shape[0]
     dtype = ycorr.dtype
@@ -272,23 +284,6 @@ def mt_abc_blocks_II(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
     log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0))
     xpx_b = md.xpx.reshape(nblocks, b).T
     valid_b = md.valid.reshape(nblocks, b).T
-
-    w_r = ycorr if rinv is None else ycorr * rinv[None, :]
-    rhs0 = jnp.einsum("np,tn->tp", md.X, w_r).reshape(t, nblocks, b).transpose(2, 0, 1)
-
-    def to_j(x):
-        return x.reshape(t, nblocks, b).transpose(2, 0, 1)
-
-    def from_j(x):
-        return x.transpose(1, 2, 0).reshape(t, -1)
-
-    alpha_j, beta_j, delta_j = to_j(alpha), to_j(beta), to_j(delta)
-    alpha_start = alpha_j
-
-    kg, kz = jax.random.split(key)
-    gums = jax.random.gumbel(kg, (nreps * b, 2**t, nblocks), dtype=dtype)
-    zs = jax.random.normal(kz, (nreps * b, t, nblocks), dtype=dtype)
-    idx = jnp.tile(jnp.arange(b), nreps)
 
     def step(carry, inp):
         alpha_j, beta_j, delta_j, rhs_j = carry
@@ -306,12 +301,28 @@ def mt_abc_blocks_II(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
             delta_j.at[j].set(d_new), rhs_j,
         ), None
 
-    (alpha_j, beta_j, delta_j, _), _ = jax.lax.scan(
-        step, (alpha_j, beta_j, delta_j, rhs0), (idx, gums, zs)
+    def round_fn(stt, kr, reps):
+        alpha_j, beta_j, delta_j, ycorr = stt
+        w_r = ycorr if rinv is None else ycorr * rinv[None, :]
+        rhs0 = _mt_to_j(jnp.einsum("np,tn->tp", md.X, w_r), nblocks, b)
+        kg, kz = jax.random.split(kr)
+        gums = jax.random.gumbel(kg, (reps * b, 2**t, nblocks), dtype=dtype)
+        zs = jax.random.normal(kz, (reps * b, t, nblocks), dtype=dtype)
+        idx = jnp.tile(jnp.arange(b), reps)
+        alpha_start = alpha_j
+        (alpha_j, beta_j, delta_j, _), _ = jax.lax.scan(
+            step, (alpha_j, beta_j, delta_j, rhs0), (idx, gums, zs)
+        )
+        d_alpha = _mt_from_j(alpha_start - alpha_j)
+        ycorr = ycorr + jnp.einsum("np,tp->tn", md.X, d_alpha)
+        return (alpha_j, beta_j, delta_j, ycorr)
+
+    alpha_j, beta_j, delta_j, ycorr = _sync_rounds(
+        nreps, sync_every, key, round_fn,
+        (_mt_to_j(alpha, nblocks, b), _mt_to_j(beta, nblocks, b),
+         _mt_to_j(delta, nblocks, b), ycorr),
     )
-    d_alpha = from_j(alpha_start - alpha_j)
-    ycorr = ycorr + jnp.einsum("np,tp->tn", md.X, d_alpha)
-    return from_j(alpha_j), from_j(beta_j), from_j(delta_j), ycorr
+    return _mt_from_j(alpha_j), _mt_from_j(beta_j), _mt_from_j(delta_j), ycorr
 
 
 @jax.jit
@@ -375,10 +386,12 @@ def _mt_c0l_marker_update(w, alpha_old, xpx_j, Rinv, Ginv_j, zs):
     return new_alpha
 
 
-@partial(jax.jit, static_argnames=("nreps",))
+@partial(jax.jit, static_argnames=("nreps", "sync_every"))
 def mt_c0l_blocks(md: MarkerBlocks, alpha, ycorr, rinv, vare, ginv,
-                  gamma_arr, key, nreps: int = 1):
+                  gamma_arr, key, nreps: int = 1, sync_every=None):
     """Blocked MT BayesL / RR-BLUP. gamma_arr: (p_pad,) (ones = RR-BLUP)."""
+    from jwas_tpu.ops.markers import _sync_rounds
+
     b, _, nblocks = md.grams.shape
     t = alpha.shape[0]
     dtype = ycorr.dtype
@@ -386,14 +399,6 @@ def mt_c0l_blocks(md: MarkerBlocks, alpha, ycorr, rinv, vare, ginv,
     xpx_b = md.xpx.reshape(nblocks, b).T
     valid_b = md.valid.reshape(nblocks, b).T
     gamma_b = gamma_arr.reshape(nblocks, b).T
-
-    w_r = ycorr if rinv is None else ycorr * rinv[None, :]
-    rhs0 = jnp.einsum("np,tn->tp", md.X, w_r).reshape(t, nblocks, b).transpose(2, 0, 1)
-    alpha_j = alpha.reshape(t, nblocks, b).transpose(2, 0, 1)
-    alpha_start = alpha_j
-
-    zs = jax.random.normal(key, (nreps * b, t, nblocks), dtype=dtype)
-    idx = jnp.tile(jnp.arange(b), nreps)
 
     def step(carry, inp):
         alpha_j, rhs_j = carry
@@ -406,10 +411,21 @@ def mt_c0l_blocks(md: MarkerBlocks, alpha, ycorr, rinv, vare, ginv,
         rhs_j = rhs_j + (a_old - a_new)[None, :, :] * md.grams[j][:, None, :]
         return (alpha_j.at[j].set(a_new), rhs_j), None
 
-    (alpha_j, _), _ = jax.lax.scan(step, (alpha_j, rhs0), (idx, zs), unroll=2)
-    d_alpha = (alpha_start - alpha_j).transpose(1, 2, 0).reshape(t, -1)
-    ycorr = ycorr + jnp.einsum("np,tp->tn", md.X, d_alpha)
-    return alpha_j.transpose(1, 2, 0).reshape(t, -1), ycorr
+    def round_fn(stt, kr, reps):
+        alpha_j, ycorr = stt
+        w_r = ycorr if rinv is None else ycorr * rinv[None, :]
+        rhs0 = _mt_to_j(jnp.einsum("np,tn->tp", md.X, w_r), nblocks, b)
+        zs = jax.random.normal(kr, (reps * b, t, nblocks), dtype=dtype)
+        idx = jnp.tile(jnp.arange(b), reps)
+        alpha_start = alpha_j
+        (alpha_j, _), _ = jax.lax.scan(step, (alpha_j, rhs0), (idx, zs), unroll=2)
+        ycorr = ycorr + jnp.einsum("np,tp->tn", md.X, _mt_from_j(alpha_start - alpha_j))
+        return (alpha_j, ycorr)
+
+    alpha_j, ycorr = _sync_rounds(
+        nreps, sync_every, key, round_fn, (_mt_to_j(alpha, nblocks, b), ycorr)
+    )
+    return _mt_from_j(alpha_j), ycorr
 
 
 @jax.jit

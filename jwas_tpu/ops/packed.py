@@ -96,10 +96,10 @@ def packed_rhs(pm: PackedMarkers, w, chunk: int = 0):
     return parts.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("nreps", "chunk"))
+@partial(jax.jit, static_argnames=("nreps", "sync_every", "chunk"))
 def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
                             rinv, vare, var_eff, pi, key, nreps: int = 1,
-                            chunk: int = 0):
+                            sync_every=None, chunk: int = 0):
     """Fast-blocks BayesA/B/C sweep over the packed store.
 
     Identical math to markers.sweep_blocks_abc (BayesABC block path,
@@ -122,18 +122,6 @@ def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
     log_pi_comp = mk._to_jmajor(jnp.log1p(-pi_c + 1e-12), nblocks, b)
     xpx_b = mk._to_jmajor(pm.xpx, nblocks, b)
 
-    w = ycorr if rinv is None else rinv * ycorr
-    rhs0 = mk._to_jmajor(packed_rhs(pm, w, chunk=chunk), nblocks, b)
-
-    ku, kz = jax.random.split(key)
-    us = jax.random.uniform(ku, (nreps * b, nblocks), dtype=dtype)
-    zs = jax.random.normal(kz, (nreps * b, nblocks), dtype=dtype)
-
-    alpha_b = mk._to_jmajor(alpha, nblocks, b)
-    beta_b = mk._to_jmajor(beta, nblocks, b)
-    delta_b = mk._to_jmajor(delta, nblocks, b)
-    alpha_start = alpha_b
-
     md = mk.MarkerBlocks(pm.packed, pm.xpx, pm.grams, pm.valid)
 
     def step(carry, inp):
@@ -152,11 +140,27 @@ def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
             rhs_b,
         )
 
-    alpha_b, beta_b, delta_b, _ = mk._blocked_round(
-        md, step, (alpha_b, beta_b, delta_b, rhs0), (us, zs), nreps, b
+    def round_fn(stt, kr, reps):
+        alpha_b, beta_b, delta_b, ycorr = stt
+        w = ycorr if rinv is None else rinv * ycorr
+        rhs0 = mk._to_jmajor(packed_rhs(pm, w, chunk=chunk), nblocks, b)
+        ku, kz = jax.random.split(kr)
+        us = jax.random.uniform(ku, (reps * b, nblocks), dtype=dtype)
+        zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
+        alpha_start = alpha_b
+        alpha_b, beta_b, delta_b, _ = mk._blocked_round(
+            md, step, (alpha_b, beta_b, delta_b, rhs0), (us, zs), reps, b
+        )
+        ycorr = ycorr + packed_matvec(
+            pm, mk._from_jmajor(alpha_start - alpha_b), chunk=chunk
+        )
+        return (alpha_b, beta_b, delta_b, ycorr)
+
+    alpha_b, beta_b, delta_b, ycorr = mk._sync_rounds(
+        nreps, sync_every, key, round_fn,
+        (mk._to_jmajor(alpha, nblocks, b), mk._to_jmajor(beta, nblocks, b),
+         mk._to_jmajor(delta, nblocks, b), ycorr),
     )
-    d_alpha = mk._from_jmajor(alpha_start - alpha_b)
-    ycorr = ycorr + packed_matvec(pm, d_alpha, chunk=chunk)
     return (
         mk._from_jmajor(alpha_b),
         mk._from_jmajor(beta_b),

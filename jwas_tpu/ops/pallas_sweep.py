@@ -195,9 +195,10 @@ def abc_inner_rounds_pallas(grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
 
 def sweep_blocks_abc_pallas(md, alpha, beta, delta, ycorr, rinv, vare,
                             var_eff, pi, key, nreps: int = 1,
-                            interpret: bool = False):
+                            sync_every=None, interpret: bool = False):
     """Drop-in replacement for markers.sweep_blocks_abc with the inner rounds
-    running in the Pallas kernel. Same inputs, same draws, same outputs."""
+    running in the Pallas kernel. Same inputs, same draws, same outputs
+    (including identical sync-round key derivation)."""
     from jwas_tpu.ops import markers as mk
 
     b, _, nblocks = md.grams.shape
@@ -210,25 +211,27 @@ def sweep_blocks_abc_pallas(md, alpha, beta, delta, ycorr, rinv, vare,
     log_pi_comp = mk._to_jmajor(jnp.log1p(-pi_c + 1e-12), nblocks, b)
     xpx_b = mk._to_jmajor(md.xpx, nblocks, b)
 
-    w = ycorr if rinv is None else rinv * ycorr
-    rhs0 = mk._to_jmajor(md.X.T @ w, nblocks, b)
+    def round_fn(stt, kr, reps):
+        alpha_b, beta_b, delta_b, ycorr = stt
+        w = ycorr if rinv is None else rinv * ycorr
+        rhs0 = mk._to_jmajor(md.X.T @ w, nblocks, b)
+        ku, kz = jax.random.split(kr)
+        us = jax.random.uniform(ku, (reps * b, nblocks), dtype=dtype)
+        zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
+        alpha_start = alpha_b
+        alpha_b, beta_b, delta_b, _ = abc_inner_rounds_pallas(
+            md.grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
+            alpha_b, beta_b, delta_b, rhs0, us, zs, 1.0 / vare,
+            nreps=reps, interpret=interpret,
+        )
+        ycorr = ycorr + md.X @ mk._from_jmajor(alpha_start - alpha_b)
+        return (alpha_b, beta_b, delta_b, ycorr)
 
-    ku, kz = jax.random.split(key)
-    us = jax.random.uniform(ku, (nreps * b, nblocks), dtype=dtype)
-    zs = jax.random.normal(kz, (nreps * b, nblocks), dtype=dtype)
-
-    alpha_b = mk._to_jmajor(alpha, nblocks, b)
-    beta_b = mk._to_jmajor(beta, nblocks, b)
-    delta_b = mk._to_jmajor(delta, nblocks, b)
-    alpha_start = alpha_b
-
-    alpha_b, beta_b, delta_b, _ = abc_inner_rounds_pallas(
-        md.grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
-        alpha_b, beta_b, delta_b, rhs0, us, zs, 1.0 / vare,
-        nreps=nreps, interpret=interpret,
+    alpha_b, beta_b, delta_b, ycorr = mk._sync_rounds(
+        nreps, sync_every, key, round_fn,
+        (mk._to_jmajor(alpha, nblocks, b), mk._to_jmajor(beta, nblocks, b),
+         mk._to_jmajor(delta, nblocks, b), ycorr),
     )
-    d_alpha = mk._from_jmajor(alpha_start - alpha_b)
-    ycorr = ycorr + md.X @ d_alpha
     return (
         mk._from_jmajor(alpha_b),
         mk._from_jmajor(beta_b),

@@ -109,4 +109,52 @@ void jwas_packed_xtw(const uint8_t* packed, int64_t n, int64_t p, int64_t bpm,
     }
 }
 
+// Accumulate per-marker sums and missing counts over a row chunk (R x p,
+// row-major). Callers zero-init sums/n_missing once and finalize means after
+// the last chunk — the chunked (out-of-core) stats scan
+// (_scan_streaming_stats!, streaming_genotypes.jl:204-315).
+void jwas_scan_stats_accum(const float* geno, int64_t rows, int64_t p,
+                           float missing_value,
+                           double* sums, int64_t* n_missing) {
+    for (int64_t i = 0; i < rows; ++i) {
+        const float* row = geno + i * p;
+        for (int64_t j = 0; j < p; ++j) {
+            float v = row[j];
+            if (v == missing_value || std::isnan(v)) {
+                n_missing[j] += 1;
+            } else {
+                sums[j] += v;
+            }
+        }
+    }
+}
+
+// Pack one row chunk (rows x p, row-major) directly into marker-major 2-bit
+// bytes: out is (p x ceil(rows/4)). When chunks are 4-row aligned, each chunk
+// owns a disjoint byte range of the final (p x ceil(n/4)) store, so the
+// out-of-core conversion writes every output byte exactly once (the tiled
+// transpose of streaming_genotypes.jl:385-452, without the row-major spool —
+// the source file is simply read twice).
+void jwas_pack_tile_transposed(const float* geno, int64_t rows, int64_t p,
+                               float missing_value, uint8_t* out) {
+    int64_t bpt = (rows + 3) / 4;
+    std::memset(out, 0, static_cast<size_t>(p) * bpt);
+    for (int64_t i = 0; i < rows; ++i) {
+        const float* row = geno + i * p;
+        int64_t byte = i >> 2;
+        int shift = 2 * (i & 3);
+        for (int64_t j = 0; j < p; ++j) {
+            float v = row[j];
+            uint8_t code;
+            if (v == missing_value || std::isnan(v)) {
+                code = 3;
+            } else {
+                long r = std::lround(v);
+                code = static_cast<uint8_t>(r < 0 ? 0 : (r > 2 ? 2 : r));
+            }
+            out[j * bpt + byte] |= static_cast<uint8_t>(code << shift);
+        }
+    }
+}
+
 }  // extern "C"

@@ -134,3 +134,62 @@ def test_packed_constraints():
                        "y2": np.random.default_rng(1).normal(size=40)})
     with pytest.raises(ValueError, match="single-trait"):
         runMCMC(model, ph, chain_length=5, output_folder="")
+
+
+def test_low_memory_conversion_matches_dense(tmp_path):
+    """Out-of-core two-pass conversion (streaming_genotypes.jl:658-789) must
+    produce a byte-identical store to the in-memory path."""
+    df, X = _geno_df(n=203, p=41, seed=13, missing_frac=0.08)
+    csv = str(tmp_path / "geno.csv")
+    df.to_csv(csv, index=False)
+
+    dense = prepare_packed_genotypes(csv)
+    lowmem = prepare_packed_genotypes(
+        csv, low_memory=True, save_path=str(tmp_path / "store"), chunk_rows=64
+    )
+    assert lowmem.n_obs == dense.n_obs
+    assert lowmem.marker_ids == dense.marker_ids
+    np.testing.assert_array_equal(np.asarray(lowmem.packed), dense.packed)
+    np.testing.assert_allclose(lowmem.means, dense.means, rtol=1e-12)
+    # decode equality marker by marker (test_streaming_codec.jl:21-51)
+    cols = list(range(41))
+    np.testing.assert_allclose(lowmem.decode(cols), dense.decode(cols), atol=0)
+    # manifest reload round-trips
+    re = Packed2BitStore.load(str(tmp_path / "store"))
+    np.testing.assert_array_equal(re.packed, dense.packed)
+
+
+def test_low_memory_maf_filter(tmp_path):
+    df, X = _geno_df(n=100, p=20, seed=3, missing_frac=0.0)
+    # make two markers fixed -> MAF filter must drop them
+    df.iloc[:, 1] = 0.0
+    df.iloc[:, 5] = 2.0
+    csv = str(tmp_path / "g.csv")
+    df.to_csv(csv, index=False)
+    st = prepare_packed_genotypes(
+        csv, low_memory=True, MAF=0.01, save_path=str(tmp_path / "s"),
+        chunk_rows=32,
+    )
+    assert st.n_markers == 18
+    assert "m0" not in st.marker_ids and "m4" not in st.marker_ids
+
+
+def test_low_memory_disk_guard(tmp_path):
+    df, _ = _geno_df(n=40, p=10)
+    csv = str(tmp_path / "g.csv")
+    df.to_csv(csv, index=False)
+    with pytest.raises(RuntimeError, match="disk_guard"):
+        prepare_packed_genotypes(
+            csv, low_memory=True, save_path=str(tmp_path / "s"),
+            disk_guard_ratio=1e-12,
+        )
+
+
+def test_low_memory_requires_path_and_save(tmp_path):
+    df, _ = _geno_df(n=12, p=4)
+    with pytest.raises(TypeError):
+        prepare_packed_genotypes(df, low_memory=True, save_path="x")
+    csv = str(tmp_path / "g.csv")
+    df.to_csv(csv, index=False)
+    with pytest.raises(ValueError):
+        prepare_packed_genotypes(csv, low_memory=True)
