@@ -929,14 +929,40 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
     run_window = make_run_window(cfg)
     accum = _init_accum(cfg, data, state)
 
-    if burnin_outer > 0:
-        state, accum, _ = run_window(state, data, accum, burnin_outer, accumulate=False)
-
     samples = {"vare": [], "varg": [], "pi": [], "genvar": [], "h2": []}
     alpha_samples = [] if opts.output_marker_samples else None
     upf = int(opts.update_priors_frequency or 0)
     prior_epoch = 0
-    for w in range(n_saved):
+    w0 = 0
+
+    from jwas_tpu.utils import checkpoint as ckpt
+
+    ck_folder = opts.checkpoint_folder or os.path.join(
+        opts.output_folder or "results", "checkpoint"
+    )
+    ck_every_w = 0
+    if opts.checkpoint_frequency and int(opts.checkpoint_frequency) > 0:
+        ck_every_w = max(1, int(opts.checkpoint_frequency) // (thin_outer * nreps))
+    resumed = False
+    if opts.resume:
+        path = ckpt.latest_checkpoint(ck_folder)
+        if path is not None:
+            template = (state, accum, data.vc_scale, data.scale_r)
+            (state, accum, vc_scale, scale_r), smp, meta = ckpt.load_checkpoint(
+                path, template
+            )
+            data = data._replace(vc_scale=vc_scale, scale_r=scale_r)
+            samples = {k: smp.get(k, []) for k in samples}
+            if alpha_samples is not None:
+                alpha_samples = smp.get("alpha_st", [])
+            prior_epoch = int(meta["prior_epoch"])
+            w0 = int(meta["w_next"])
+            resumed = True
+
+    if burnin_outer > 0 and not resumed:
+        state, accum, _ = run_window(state, data, accum, burnin_outer, accumulate=False)
+
+    for w in range(w0, n_saved):
         state, accum, out = run_window(state, data, accum, thin_outer, accumulate=True)
         if upf > 0:
             iters_done = (burnin_outer + (w + 1) * thin_outer) * nreps
@@ -950,6 +976,18 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
         samples["h2"].append(np.asarray(out.h2))
         if alpha_samples is not None:
             alpha_samples.append(np.asarray(state.alpha[: cfg.n_markers]))
+        if ck_every_w and (w + 1) % ck_every_w == 0:
+            smp = dict(samples)
+            if alpha_samples is not None:
+                smp["alpha_st"] = alpha_samples
+            ckpt.save_checkpoint(
+                ck_folder,
+                (burnin_outer + (w + 1) * thin_outer) * nreps,
+                (state, accum, data.vc_scale, data.scale_r),
+                smp,
+                {"w_next": w + 1, "prior_epoch": prior_epoch},
+                keep=opts.checkpoint_keep,
+            )
 
     from jwas_tpu.engine.output import build_results
 

@@ -26,6 +26,7 @@ diag(1/R_tt) x invweights so the general Gibbs variance 1/lhs is calibrated.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Tuple
@@ -833,14 +834,41 @@ def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
 
     run_window = make_mt_run_window(cfg)
     accum = _init_mt_accum(cfg, data, state)
-    if burnin_outer > 0:
-        state, accum, _ = run_window(state, data, accum, burnin_outer, accumulate=False)
 
     samples = {"R": [], "varg": [], "pi": [], "genvar": [], "h2": [],
                "lam": [], "alpha": []}
     upf = int(opts.update_priors_frequency or 0)
     prior_epoch = 0
-    for w in range(n_saved):
+    w0 = 0
+
+    from jwas_tpu.utils import checkpoint as ckpt
+
+    ck_folder = opts.checkpoint_folder or os.path.join(
+        opts.output_folder or "results", "checkpoint"
+    )
+    ck_every_w = 0
+    if opts.checkpoint_frequency and int(opts.checkpoint_frequency) > 0:
+        ck_every_w = max(1, int(opts.checkpoint_frequency) // (thin_outer * nreps))
+    resumed = False
+    if opts.resume:
+        path = ckpt.latest_checkpoint(ck_folder)
+        if path is not None:
+            template = (state, accum, data.vc_scale, data.scale_R,
+                        data.marker_scale)
+            (state, accum, vc_scale, scale_R, marker_scale), smp, meta = (
+                ckpt.load_checkpoint(path, template)
+            )
+            data = data._replace(vc_scale=vc_scale, scale_R=scale_R,
+                                 marker_scale=marker_scale)
+            samples = {k: smp.get(k, []) for k in samples}
+            prior_epoch = int(meta["prior_epoch"])
+            w0 = int(meta["w_next"])
+            resumed = True
+
+    if burnin_outer > 0 and not resumed:
+        state, accum, _ = run_window(state, data, accum, burnin_outer, accumulate=False)
+
+    for w in range(w0, n_saved):
         state, accum, out = run_window(state, data, accum, thin_outer, accumulate=True)
         if upf > 0:
             iters_done = (burnin_outer + (w + 1) * thin_outer) * nreps
@@ -853,6 +881,15 @@ def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
         if cfg.sem_edges:
             samples["lam"].append(np.asarray(out.lam))
             samples["alpha"].append(np.asarray(state.alpha)[:, : cfg.n_markers])
+        if ck_every_w and (w + 1) % ck_every_w == 0:
+            ckpt.save_checkpoint(
+                ck_folder,
+                (burnin_outer + (w + 1) * thin_outer) * nreps,
+                (state, accum, data.vc_scale, data.scale_R, data.marker_scale),
+                samples,
+                {"w_next": w + 1, "prior_epoch": prior_epoch},
+                keep=opts.checkpoint_keep,
+            )
 
     from jwas_tpu.engine.output_mt import build_mt_results
 

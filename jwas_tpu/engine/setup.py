@@ -65,6 +65,12 @@ class MCMCOptions:
     independent_blocks: bool = False    # reference's fully-amortized approximate
                                         # block mode (sync only once per outer
                                         # iteration; BayesABC.jl:190-255)
+    checkpoint_frequency: int = 0       # write a resumable checkpoint every K
+                                        # iterations (0 = off); rounded to
+                                        # thinning-window boundaries
+    checkpoint_folder: Optional[str] = None  # default <output_folder>/checkpoint
+    checkpoint_keep: int = 3            # checkpoints retained on disk
+    resume: bool = False                # continue from the latest checkpoint
 
 
 def resolve_sync_every(opts: "MCMCOptions", nreps: int) -> int:
