@@ -34,7 +34,7 @@ from jwas_tpu.engine.solve import solve
 from jwas_tpu.analysis.gwas import GWAS
 from jwas_tpu.io.datasets import dataset
 from jwas_tpu.ops.rrm import generate_full_phi
-from jwas_tpu.analysis.diagnostics import PSRF, traceplot, LOOCV
+from jwas_tpu.analysis.diagnostics import PSRF, traceplot, LOOCV, lsmeans, getEBV
 from jwas_tpu.io.packed import Packed2BitStore, prepare_packed_genotypes
 
 __all__ = [
@@ -58,6 +58,8 @@ __all__ = [
     "PSRF",
     "traceplot",
     "LOOCV",
+    "lsmeans",
+    "getEBV",
     "Packed2BitStore",
     "prepare_packed_genotypes",
 ]

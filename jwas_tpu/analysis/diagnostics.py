@@ -125,3 +125,60 @@ def LOOCV(X, y, vara: float, vare: float, verbose: bool = True) -> np.ndarray:
         print(f"mean square of error is {float(e @ e / n)}")
         print(f"prediction accuracy is {float(np.corrcoef(y, y + e)[0, 1])}")
     return e
+
+
+def lsmeans(model, results) -> "pd.DataFrame":
+    """Least-squares means of the fixed categorical effects (misc.jl:7-38).
+
+    For each fixed categorical term, lsmean(level) = Estimate(level) + the
+    mean contribution of every other fixed term of the same trait (covariates
+    and the intercept enter at their data mean x the estimate).
+
+    model: the fitted Model; results: the runMCMC results dict (uses the
+    "location parameters" table). Returns columns Trait/Effect/Level/lsmean.
+    """
+    import pandas as pd
+
+    lp = results["location parameters"]
+    rows = []
+    for trait in model.lhs_vec:
+        terms = [t for t in model.terms
+                 if t.random_type == "fixed" and t.trait_name == trait]
+        contribs = {}
+        for t in terms:
+            effect = t.trm_str.split(":", 1)[1]
+            sel = lp[(lp.Trait == trait) & (lp.Effect == effect)]
+            est = sel.Estimate.to_numpy(dtype=float)
+            if len(est) == 0:
+                continue
+            if t.n_levels == 1:
+                xbar = float(np.mean(t.val)) if t.val is not None else 1.0
+                contribs[effect] = ("scalar", xbar * est[0])
+            else:
+                contribs[effect] = ("cat", sel.Level.tolist(), est)
+        for effect, c in contribs.items():
+            if c[0] != "cat":
+                continue
+            base = 0.0
+            for e2, c2 in contribs.items():
+                if e2 == effect:
+                    continue
+                base += c2[1] if c2[0] == "scalar" else float(np.mean(c2[2]))
+            for lev, e in zip(c[1], c[2]):
+                rows.append((trait, effect, lev, float(e) + base))
+    return pd.DataFrame(rows, columns=["Trait", "Effect", "Level", "lsmean"])
+
+
+def getEBV(results, trait: str = None) -> "pd.DataFrame":
+    """Return the EBV/PEV table for `trait` from a runMCMC results dict
+    (the public getEBV export; internal computation at output.jl:281-306).
+    With one trait the name may be omitted."""
+    keys = [k for k in results if k.startswith("EBV_")]
+    if trait is not None:
+        key = f"EBV_{trait}"
+        if key not in results:
+            raise KeyError(f"no {key!r} in results; available: {keys}")
+        return results[key]
+    if len(keys) != 1:
+        raise ValueError(f"specify the trait; available: {keys}")
+    return results[keys[0]]

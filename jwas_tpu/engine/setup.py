@@ -71,6 +71,10 @@ class MCMCOptions:
     checkpoint_folder: Optional[str] = None  # default <output_folder>/checkpoint
     checkpoint_keep: int = 3            # checkpoints retained on disk
     resume: bool = False                # continue from the latest checkpoint
+    prediction_equation: object = False # user-defined EBV terms, e.g. "ID" or
+                                        # "y:ID + y:litter" (prediction_setup,
+                                        # output.jl:29-59); False = pedigree
+                                        # terms + genotypes (default)
 
 
 def resolve_sync_every(opts: "MCMCOptions", nreps: int) -> int:
@@ -344,6 +348,10 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
                 output_ids = list(model.M[0].obs_ids)
             elif model.ped is not None:
                 output_ids = list(model.ped.ids)
+            elif getattr(opts, "prediction_equation", False):
+                # user-defined prediction equation without markers/pedigree:
+                # default to the phenotyped individuals
+                output_ids = list(dict.fromkeys(str(x) for x in df[id_col]))
             else:
                 output_ids = []
         if model.M and not opts.single_step_analysis:
@@ -396,6 +404,24 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
 
     # --- prediction equation & output incidence (prediction_setup/output.jl:29-59) ---
     prediction_terms = list(model.ped_term_vec)
+    pe = getattr(opts, "prediction_equation", False)
+    if pe:
+        prediction_terms = []
+        for tok in str(pe).split("+"):
+            tok = tok.strip()
+            if not tok:
+                continue
+            cands = [tok] if ":" in tok else [
+                f"{lhs}:{tok}" for lhs in model.lhs_vec
+            ]
+            found = [c for c in cands if c in model.term_dict]
+            if not found:
+                raise ValueError(
+                    f"term {tok!r} in the prediction equation is not found"
+                )
+            for c in found:
+                if c not in prediction_terms:
+                    prediction_terms.append(c)
     output_X: Dict[str, np.ndarray] = {}
     id_rows = {}
     for i, s in enumerate([str(x) for x in df_whole[id_col]]):

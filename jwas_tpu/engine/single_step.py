@@ -108,6 +108,126 @@ def _add_term(model: Model, name: str) -> List[str]:
     return added
 
 
+def get_Hi(ped, geno, weight_for_G: float = 1.0):
+    """H-inverse for single-step GBLUP (get_Hi, SSGBLUP.jl:2-36).
+
+    Hi = Ai + [0 0; 0 inv(G) - inv(A_gg)] over rows/cols ordered
+    [non-genotyped; genotyped]. G is the genomic relationship matrix — the
+    stored GRM when `geno.method == "GBLUP"`, otherwise VanRaden's
+    (M M' + 1e-5 I)/p with columns scaled by sqrt(2 p q) — optionally blended
+    with the pedigree block: G <- w*G + (1-w)*A_gg for 0 <= weight_for_G <= 1
+    (weight_for_G=0 gives Hi == Ai exactly).
+
+    Returns (Hi as scipy CSC, ids in the [non-genotyped; genotyped] order).
+    The reference leaves get_Hi unwired from runMCMC
+    (input_data_validation.jl:41-43); here the returned Hi runs through the
+    ordinary engine as a user-structured random effect:
+    ``set_random(model, "ID", G0, Vinv=Hi, names=ids)``.
+
+    A_gg is computed via chunked sparse solves A[:, g] = Ai^-1 E_g (not the
+    reference's dense inverse of the full A), so cost scales with the
+    genotyped count, not the pedigree size.
+    """
+    geno_set = set(geno.obs_ids)
+    missing = [s for s in geno.obs_ids if s not in ped.id_index]
+    if missing:
+        raise ValueError(
+            f"genotyped individuals missing from the pedigree: {missing[:5]}"
+        )
+    nongeno_ids = [s for s in ped.ids if s not in geno_set]
+    geno_ids = [s for s in ped.ids if s in geno_set]
+    order = nongeno_ids + geno_ids
+    perm = np.array([ped.id_index[s] for s in order], dtype=np.int64)
+    Ai = ped.a_inverse()[perm][:, perm].tocsc()
+    nn, n = len(nongeno_ids), len(order)
+    ng = n - nn
+
+    lu = splu(Ai)
+    A_gg = np.empty((ng, ng))
+    chunk = max(1, min(512, ng))
+    for c0 in range(0, ng, chunk):
+        c1 = min(c0 + chunk, ng)
+        E = np.zeros((n, c1 - c0))
+        E[nn + c0 : nn + c1] = np.eye(c1 - c0)
+        A_gg[:, c0:c1] = lu.solve(E)[nn:]
+    A_gg = 0.5 * (A_gg + A_gg.T)
+
+    row_of = {s: i for i, s in enumerate(geno.obs_ids)}
+    rows = np.array([row_of[s] for s in geno_ids], dtype=np.int64)
+    if geno.is_grm:
+        G = np.asarray(geno.genotypes, dtype=np.float64)[np.ix_(rows, rows)]
+    else:
+        M = np.asarray(geno.genotypes, dtype=np.float64)[rows]
+        f = np.asarray(geno.allele_freq, dtype=np.float64)
+        scale = np.sqrt(np.maximum(2.0 * f * (1.0 - f), 1e-12))
+        M = M / scale[None, :]
+        G = (M @ M.T + 1e-5 * np.eye(ng)) / M.shape[1]
+
+    if not 0.0 <= weight_for_G <= 1.0:
+        raise ValueError("weight_for_G must be in [0, 1]")
+    G = weight_for_G * G + (1.0 - weight_for_G) * A_gg
+    try:
+        np.linalg.cholesky(G)
+    except np.linalg.LinAlgError:
+        raise ValueError("the blended relationship matrix G is not positive "
+                         "definite; lower weight_for_G or check the GRM")
+
+    corr = np.linalg.inv(G) - np.linalg.inv(A_gg)
+    Hi = Ai.tolil()
+    Hi[nn:, nn:] = Hi[nn:, nn:] + corr
+    return Hi.tocsc(), order
+
+
+def apy_partition(ped, geno_ids, core_ids):
+    """Reorder individuals into [non-genotyped; core; non-core genotyped]
+    (the APY variant of genoSet!, forSSBR.jl:58-99).
+
+    Returns (nongeno, core, noncore) ID lists, each in the pedigree's
+    topological order. core_ids must be a subset of geno_ids.
+    """
+    geno_set = set(str(s) for s in geno_ids)
+    core_set = set(str(s) for s in core_ids)
+    bad = core_set - geno_set
+    if bad:
+        raise ValueError(f"core IDs not genotyped: {sorted(bad)[:5]}")
+    nongeno = [s for s in ped.ids if s not in geno_set]
+    core = [s for s in ped.ids if s in core_set]
+    noncore = [s for s in ped.ids if s in geno_set and s not in core_set]
+    return nongeno, core, noncore
+
+
+def apy_g_inverse(G: np.ndarray, core_idx: np.ndarray) -> np.ndarray:
+    """APY (algorithm for proven and young) sparse-structured inverse of a
+    GRM: non-core individuals are conditionally independent given the core
+    (Misztal 2014). With core = everyone this reproduces inv(G) exactly.
+
+    The reference only provides the APY *reordering* (forSSBR.jl:58-99); the
+    inverse itself is a new capability enabling single-step at scale (the
+    dense inv(G) in get_Hi is the O(n^3) bottleneck).
+
+    G: (n, n) relationship matrix; core_idx: indices of the core subset.
+    Returns the (n, n) APY approximation of inv(G) in the original order.
+    """
+    n = G.shape[0]
+    core_idx = np.asarray(core_idx, dtype=np.int64)
+    mask = np.zeros(n, dtype=bool)
+    mask[core_idx] = True
+    non_idx = np.flatnonzero(~mask)
+    Gcc = G[np.ix_(core_idx, core_idx)]
+    Gcn = G[np.ix_(core_idx, non_idx)]
+    Gcc_inv = np.linalg.inv(Gcc)
+    # per-non-core conditional variance m_i = g_ii - g_ic Gcc^-1 g_ci
+    W = Gcc_inv @ Gcn                       # (c, m)
+    m = np.diag(G)[non_idx] - np.einsum("cm,cm->m", Gcn, W)
+    m_inv = 1.0 / m
+    Ginv = np.zeros_like(G)
+    Ginv[np.ix_(core_idx, core_idx)] = Gcc_inv + (W * m_inv[None, :]) @ W.T
+    Ginv[np.ix_(core_idx, non_idx)] = -W * m_inv[None, :]
+    Ginv[np.ix_(non_idx, core_idx)] = Ginv[np.ix_(core_idx, non_idx)].T
+    Ginv[non_idx, non_idx] = m_inv
+    return Ginv
+
+
 def ssbr_setup(model: Model, df_whole: pd.DataFrame, opts) -> None:
     """Run the single-step transformation in place (SSBRrun, SSBR.jl:8-54).
 

@@ -205,6 +205,181 @@ def simulate_pedigree_genomic_data(
     }
 
 
+def _drop_pedigree(rng, n_founders: int, gen_sizes, p: int, freqs):
+    """Gene-drop genotypes through a random multi-generation pedigree.
+
+    Returns (ids, sires, dams, X) with founders first, generations appended.
+    """
+    X = [rng.binomial(2, freqs[None, :], size=(n_founders, p))]
+    ids = [str(i + 1) for i in range(n_founders)]
+    sires = ["0"] * n_founders
+    dams = ["0"] * n_founders
+    prev_ids = list(ids)
+    prev_X = X[0]
+    next_id = n_founders + 1
+    for size in gen_sizes:
+        half = len(prev_ids) // 2
+        males, females = prev_ids[:half], prev_ids[half:]
+        mX, fX = prev_X[:half], prev_X[half:]
+        s_idx = rng.integers(0, len(males), size)
+        d_idx = rng.integers(0, len(females), size)
+        child = rng.binomial(1, mX[s_idx] / 2.0) + rng.binomial(1, fX[d_idx] / 2.0)
+        new_ids = [str(next_id + i) for i in range(size)]
+        next_id += size
+        ids += new_ids
+        sires += [males[i] for i in s_idx]
+        dams += [females[i] for i in d_idx]
+        X.append(child)
+        prev_ids, prev_X = new_ids, child
+    return ids, sires, dams, np.concatenate(X).astype(np.float32)
+
+
+def _scaled(bv: np.ndarray, target_var: float) -> np.ndarray:
+    v = bv.var()
+    return bv * np.sqrt(target_var / v) if v > 0 else bv
+
+
+def _simulated_omics() -> Dict[str, pd.DataFrame]:
+    """Deterministic analogue of the reference's simulated_omics dataset
+    (4.Datasets/data/simulated_omics; structure documented in
+    test/integration/test_simulated_omics.jl:1-8): 6,473 pedigree animals of
+    which the last 3,534 are genotyped at 1,000 SNPs; 10 omics layers each
+    driven by one block of 100 consecutive SNPs; trait1 = group + litter +
+    direct genetic + omics contribution + residual, with total genetic
+    h2 ~ 0.25 split 20% direct / 80% indirect via omics. True
+    genetic_direct/indirect/total columns enable accuracy assertions.
+    """
+    rng = np.random.default_rng(20260818)
+    p, n_geno = 1000, 3534
+    gen_sizes = (1200, 1200, 1200, 1200, 1200)
+    n_founders = 6473 - sum(gen_sizes)
+    freqs = rng.uniform(0.05, 0.95, size=p)
+    ids, sires, dams, X = _drop_pedigree(rng, n_founders, gen_sizes, p, freqs)
+    n_all = len(ids)
+    pedigree = pd.DataFrame({"ID": ids, "SIRE": sires, "DAM": dams})
+
+    geno_rows = np.arange(n_all - n_geno, n_all)
+    Xc = X - X.mean(axis=0)
+
+    # direct genetic: 30 QTL anywhere; total genetic variance normalized to 1
+    beta_d = np.zeros(p)
+    qtl_d = rng.choice(p, size=30, replace=False)
+    beta_d[qtl_d] = rng.normal(size=30)
+    g_direct = _scaled(Xc @ beta_d, 0.2)
+
+    # 10 omics layers, each driven by 8 QTL inside its 100-SNP block
+    n_omics, block = 10, 100
+    g_omic = np.zeros((n_all, n_omics))
+    for k in range(n_omics):
+        beta_k = np.zeros(p)
+        qtl_k = rng.choice(np.arange(k * block, (k + 1) * block), 8, replace=False)
+        beta_k[qtl_k] = rng.normal(size=8)
+        g_omic[:, k] = _scaled(Xc @ beta_k, 1.0)
+    w = rng.normal(size=n_omics)
+    g_indirect = _scaled(g_omic @ w, 0.8)
+    g_total = g_direct + g_indirect
+    vg = g_total.var()
+
+    # non-genetic structure + residual for total h2 ~ 0.25
+    groups = rng.integers(1, 21, size=n_all)
+    group_eff = rng.normal(0.0, np.sqrt(0.2 * vg), size=21)
+    litters = rng.integers(1, 301, size=n_all)
+    litter_eff = rng.normal(0.0, np.sqrt(0.1 * vg), size=301)
+    e = rng.normal(0.0, np.sqrt(3.0 * vg - 0.3 * vg), size=n_all)
+    trait1 = group_eff[groups] + litter_eff[litters] + g_total + e
+    omics_obs = g_omic + rng.normal(0.0, 1.0, size=g_omic.shape)
+
+    pheno = pd.DataFrame({"ID": [ids[i] for i in geno_rows],
+                          "trait1": trait1[geno_rows],
+                          "group": groups[geno_rows],
+                          "litter": litters[geno_rows],
+                          "genetic": g_direct[geno_rows]})
+    for k in range(n_omics):
+        pheno[f"omic{k+1}"] = omics_obs[geno_rows, k]
+    pheno["genetic_direct"] = g_direct[geno_rows]
+    pheno["genetic_indirect"] = g_indirect[geno_rows]
+    pheno["genetic_total"] = g_total[geno_rows]
+
+    geno = pd.DataFrame(X[geno_rows], columns=[f"m{j+1}" for j in range(p)])
+    geno.insert(0, "ID", [ids[i] for i in geno_rows])
+    return {"phenotypes": pheno, "pedigree": pedigree,
+            "genotypes_1000snps": geno}
+
+
+def _simulated_annotations() -> Dict[str, pd.DataFrame]:
+    """Deterministic analogue of the reference's simulated_annotations fixture
+    (4.Datasets/data/simulated_annotations/README.md): 400 training animals,
+    ~964 post-MAF markers, 10 causal SNPs concentrated in the functional
+    annotation class (single-trait), plus a 2-trait scenario with four
+    inclusion states (00/10/01/11) driven by continuous annotation signals.
+    """
+    rng = np.random.default_rng(123)
+    n, p = 400, 964
+    freqs = rng.uniform(0.05, 0.95, size=p)
+    X = rng.binomial(2, freqs[None, :], size=(n, p)).astype(np.float32)
+    Xc = X - X.mean(axis=0)
+    marker_ids = [f"m{j+1}" for j in range(p)]
+    ids = [f"id_{i+1}" for i in range(n)]
+
+    # single trait: functional annotation enriches causal probability
+    functional = (rng.uniform(size=p) < 0.15).astype(int)
+    random_anno = (rng.uniform(size=p) < 0.15).astype(int)
+    func_idx = np.flatnonzero(functional)
+    causal = rng.choice(func_idx, size=8, replace=False)
+    causal = np.concatenate([causal, rng.choice(
+        np.setdiff1d(np.arange(p), func_idx), size=2, replace=False)])
+    beta = np.zeros(p)
+    beta[causal] = rng.normal(size=10)
+    bv = _scaled(Xc @ beta, 1.0)
+    y1 = bv + rng.normal(0.0, 1.0, size=n)        # h2 = 0.5
+
+    annotations = pd.DataFrame({"marker_id": marker_ids,
+                                "functional": functional,
+                                "random_anno": random_anno})
+    truth = pd.DataFrame({"marker_id": marker_ids,
+                          "is_causal": beta != 0.0,
+                          "true_effect": beta})
+    phenotypes = pd.DataFrame({"ID": ids, "y1": y1})
+
+    # 2-trait scenario: states 00/10/01/11 driven by continuous signals
+    act = rng.normal(size=p)
+    plei = rng.normal(size=p)
+    direction = rng.normal(size=p)
+    rand_sig = rng.normal(size=p)
+    z_act = 0.9 * act + 0.3 * rng.normal(size=p)
+    active = z_act > np.quantile(z_act, 0.96)      # ~40 active markers
+    z_shared = 0.9 * plei + 0.3 * rng.normal(size=p)
+    shared = active & (z_shared > np.quantile(z_shared, 0.5))
+    only1 = active & ~shared & (direction > 0)
+    only2 = active & ~shared & (direction <= 0)
+    b1 = np.where(shared | only1, rng.normal(size=p), 0.0)
+    b2 = np.where(shared, 0.7 * b1 + 0.5 * rng.normal(size=p),
+                  np.where(only2, rng.normal(size=p), 0.0))
+    bv1 = _scaled(Xc @ b1, 1.0)
+    bv2 = _scaled(Xc @ b2, 1.0)
+    y1m = bv1 + rng.normal(0.0, 1.0, size=n)
+    y2m = -10.0 + bv2 + rng.normal(0.0, 1.0, size=n)
+    state = np.where(shared, "11", np.where(only1, "10",
+                     np.where(only2, "01", "00")))
+    annotations_mt = pd.DataFrame({"marker_id": marker_ids,
+                                   "active_signal": act,
+                                   "pleiotropy_signal": plei,
+                                   "direction_signal": direction,
+                                   "random_signal": rand_sig})
+    truth_mt = pd.DataFrame({"marker_id": marker_ids, "state": state,
+                             "is_active_y1": shared | only1,
+                             "is_active_y2": shared | only2,
+                             "is_shared": shared,
+                             "true_effect_y1": b1, "true_effect_y2": b2})
+    phenotypes_mt = pd.DataFrame({"ID": ids, "y1": y1m, "y2": y2m})
+
+    geno = pd.DataFrame(X, columns=marker_ids)
+    geno.insert(0, "ID", ids)
+    return {"genotypes": geno, "annotations": annotations, "truth": truth,
+            "phenotypes": phenotypes, "annotations_mt": annotations_mt,
+            "truth_mt": truth_mt, "phenotypes_mt": phenotypes_mt}
+
+
 def dataset(name: str, dataset_name: Optional[str] = None):
     """Return a demo dataset table, or a path to it on disk.
 
@@ -215,11 +390,17 @@ def dataset(name: str, dataset_name: Optional[str] = None):
     """
     ds_name = dataset_name or "demo_7animals"
     if ds_name not in _CACHE:
-        if ds_name == "demo_7animals":
-            _CACHE[ds_name] = _demo_7animals()
-        else:
-            raise ValueError(f"unknown dataset {ds_name!r}")
+        generators = {
+            "demo_7animals": _demo_7animals,
+            "simulated_omics": _simulated_omics,
+            "simulated_annotations": _simulated_annotations,
+        }
+        if ds_name not in generators:
+            raise ValueError(f"unknown dataset {ds_name!r}; "
+                             f"options: {sorted(generators)}")
+        _CACHE[ds_name] = generators[ds_name]()
     tables = _CACHE[ds_name]
+    name = os.path.splitext(name)[0]  # accept "phenotypes.txt" style names
     if name not in tables:
         raise ValueError(f"unknown table {name!r}; options: {sorted(tables)}")
     outdir = os.path.join(tempfile.gettempdir(), f"jwas_tpu_{ds_name}")

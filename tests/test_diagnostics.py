@@ -106,3 +106,40 @@ def test_memory_guard_in_runmcmc():
     with pytest.raises(MemoryError):
         runMCMC(model, ph, chain_length=5, output_folder="",
                 memory_guard="error", memory_guard_ratio=1e-9)
+
+
+def test_lsmeans_and_getEBV(tmp_path):
+    """lsmeans reproduces the reference grid logic (misc.jl:7-38) on a model
+    with a fixed factor + covariate; getEBV returns the EBV table."""
+    import pandas as pd
+    from jwas_tpu import build_model, get_genotypes, getEBV, lsmeans, runMCMC
+    from jwas_tpu.io.datasets import simulate_genomic_data
+
+    sim = simulate_genomic_data(n=200, p=80, n_qtl=8, h2=0.5, seed=2)
+    ph = sim["phenotypes"].copy()
+    rng = np.random.default_rng(0)
+    ph["sex"] = rng.choice(["m", "f"], size=len(ph))
+    ph["age"] = rng.uniform(1.0, 3.0, size=len(ph))
+    ph.loc[ph.sex == "m", "y"] += 2.0
+
+    geno = get_genotypes(sim["genotypes"], method="RR-BLUP", name="geno")
+    model = build_model("y = intercept + sex + age + geno", genotypes=geno)
+    from jwas_tpu import set_covariate
+    set_covariate(model, "age")
+    out = runMCMC(model, ph, chain_length=300, burnin=50, seed=4,
+                  output_folder=str(tmp_path / "r"))
+
+    ls = lsmeans(model, out)
+    assert set(ls.columns) == {"Trait", "Effect", "Level", "lsmean"}
+    sex_rows = ls[ls.Effect == "sex"].set_index("Level")
+    # male lsmean should exceed female by roughly the simulated +2 shift
+    assert 1.0 < sex_rows.loc["m", "lsmean"] - sex_rows.loc["f", "lsmean"] < 3.0
+    # every fixed categorical level appears exactly once
+    assert len(sex_rows) == 2
+
+    ebv = getEBV(out)                     # single trait: name optional
+    pd.testing.assert_frame_equal(ebv, out["EBV_y"])
+    ebv2 = getEBV(out, "y")
+    pd.testing.assert_frame_equal(ebv2, out["EBV_y"])
+    with pytest.raises(KeyError):
+        getEBV(out, "nope")

@@ -100,3 +100,91 @@ def test_ssbr_errors():
     with pytest.raises(ValueError, match="pedigree"):
         runMCMC(model, famdata["phenotypes"], chain_length=5,
                 single_step_analysis=True, pedigree=ped, output_folder="")
+
+
+# ---------------------------------------------------------------------------
+# SSGBLUP (get_Hi, SSGBLUP.jl:2-36) and APY (forSSBR.jl:58-99)
+# ---------------------------------------------------------------------------
+
+
+def test_get_hi_weight0_equals_ai(famdata):
+    """With weight_for_G=0, G = A_gg exactly, so Hi must equal Ai."""
+    from jwas_tpu.engine.single_step import get_Hi
+
+    rng = np.random.default_rng(4)
+    ids = famdata["ids"]
+    genotyped = set(rng.choice(ids, size=len(ids) // 2, replace=False))
+    geno_df = famdata["genotypes"]
+    geno = get_genotypes(geno_df[geno_df["ID"].isin(genotyped)],
+                         method="BayesC", name="geno")
+    ped = get_pedigree(famdata["pedigree"])
+    Hi, order = get_Hi(ped, geno, weight_for_G=0.0)
+    perm = np.array([ped.id_index[s] for s in order])
+    Ai = ped.a_inverse()[perm][:, perm]
+    np.testing.assert_allclose(Hi.toarray(), Ai.toarray(), atol=1e-6)
+    assert set(order) == set(ids)
+
+
+def test_get_hi_mcmc_via_prediction_equation(famdata, tmp_path):
+    """H-matrix animal model: Hi as user Vinv + prediction_equation='ID'
+    yields EBVs for everyone that track the simulated breeding values."""
+    from jwas_tpu import set_random
+    from jwas_tpu.engine.single_step import get_Hi
+
+    rng = np.random.default_rng(9)
+    ids = famdata["ids"]
+    genotyped = set(rng.choice(ids, size=len(ids) // 2, replace=False))
+    geno_df = famdata["genotypes"]
+    geno = get_genotypes(geno_df[geno_df["ID"].isin(genotyped)],
+                         method="BayesC", name="geno")
+    ped = get_pedigree(famdata["pedigree"])
+    Hi, order = get_Hi(ped, geno, weight_for_G=0.95)
+
+    model = build_model("y = intercept + ID")
+    set_random(model, "ID", famdata["var_g"], Vinv=Hi, names=order)
+    out = runMCMC(model, famdata["phenotypes"], chain_length=600, burnin=120,
+                  seed=8, prediction_equation="ID",
+                  output_folder=str(tmp_path / "hblup"))
+    ebv = out["EBV_y"].set_index("ID").EBV
+    truth = dict(zip(famdata["ids"], famdata["true_bv"]))
+    common = [s for s in ebv.index if s in truth]
+    acc = np.corrcoef(ebv.loc[common], [truth[s] for s in common])[0, 1]
+    assert acc > 0.5
+
+
+def test_apy_partition(famdata):
+    from jwas_tpu.engine.single_step import apy_partition
+
+    ped = get_pedigree(famdata["pedigree"])
+    ids = famdata["ids"]
+    geno_ids = ids[::2]
+    core_ids = geno_ids[:20]
+    nongeno, core, noncore = apy_partition(ped, geno_ids, core_ids)
+    assert set(core) == set(core_ids)
+    assert set(nongeno) | set(core) | set(noncore) == set(ids)
+    assert not (set(noncore) & set(core))
+    with pytest.raises(ValueError, match="core IDs not genotyped"):
+        apy_partition(ped, geno_ids, [ids[1]])
+
+
+def test_apy_g_inverse_exactness():
+    """APY equals the exact inverse when (a) core = everyone, and (b) the
+    non-core block is conditionally independent given the core."""
+    from jwas_tpu.engine.single_step import apy_g_inverse
+
+    rng = np.random.default_rng(0)
+    c, m = 30, 40
+    B = rng.normal(size=(c, c))
+    Gcc = B @ B.T + np.eye(c)
+    Gcn = rng.normal(size=(c, m)) * 0.3
+    d = rng.uniform(0.5, 1.5, size=m)
+    Gnn = Gcn.T @ np.linalg.solve(Gcc, Gcn) + np.diag(d)
+    G = np.block([[Gcc, Gcn], [Gcn.T, Gnn]])
+
+    # exact by construction with core = first c
+    Ginv = apy_g_inverse(G, np.arange(c))
+    np.testing.assert_allclose(Ginv, np.linalg.inv(G), atol=1e-8)
+
+    # core = everyone is always exact
+    Ginv_full = apy_g_inverse(G, np.arange(c + m))
+    np.testing.assert_allclose(Ginv_full, np.linalg.inv(G), atol=1e-8)
