@@ -39,12 +39,18 @@ def PSRF(*chains, header: bool = True) -> float:
     """
     if len(chains) < 2:
         raise ValueError("PSRF needs at least two chains")
-    means, variances, N = [], [], 0
-    for cobj in chains:
-        x = _load_chain(cobj, header=header).reshape(-1)
-        means.append(x.mean())
-        variances.append(x.std(ddof=1) ** 2)
-        N = len(x)
+    flat = [_load_chain(cobj, header=header).reshape(-1) for cobj in chains]
+    lengths = {len(x) for x in flat}
+    if len(lengths) > 1:
+        # unequal-length chains: truncate to the shortest so B/W use one N
+        N = min(lengths)
+        flat = [x[:N] for x in flat]
+    else:
+        N = lengths.pop()
+    if N < 2:
+        raise ValueError("PSRF needs at least two samples per chain")
+    means = [x.mean() for x in flat]
+    variances = [x.std(ddof=1) ** 2 for x in flat]
     M = len(chains)
     means = np.asarray(means)
     B = N / (M - 1) * np.sum((means - means.mean()) ** 2)

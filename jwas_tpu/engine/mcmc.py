@@ -392,9 +392,8 @@ def make_run_window(cfg):
         # EBV for output individuals: prediction terms + markers
         # (getEBV, output.jl:281-306)
         ebv = data.out_W @ state.sol
-        if cfg.method == "GBLUP" or cfg.method != "none":
-            if data.out_geno.shape[0] > 0:
-                ebv = ebv + data.out_geno @ state.alpha[: data.out_geno.shape[1]]
+        if cfg.method != "none" and data.out_geno.shape[0] > 0:
+            ebv = ebv + data.out_geno @ state.alpha[: data.out_geno.shape[1]]
         genvar = jnp.var(ebv) if ebv.shape[0] > 1 else jnp.zeros((), ebv.dtype)
         h2 = genvar / (genvar + state.vare)
 
@@ -552,7 +551,11 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         valid = packed_pm.valid
         p_pad = packed_pm.packed.shape[0]
         use_blocks = True
+        # exact chain-length accounting: never run more effective
+        # sweeps than the user asked for (JWAS.jl:313 floors; we
+        # clamp nreps so short chains are exact instead of inflated)
         nreps = opts.nreps if opts.nreps is not None else bs
+        nreps = max(1, min(nreps, opts.chain_length))
     elif method != "none":
         Xnp = ws.geno.genotypes
         p = ws.geno.n_markers
@@ -566,6 +569,10 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
             X, xpx, grams, valid = md
             p_pad = X.shape[1]
             nreps = opts.nreps if opts.nreps is not None else bs
+            # exact chain-length accounting: never run more effective
+            # sweeps than the user asked for (JWAS.jl:313 floors; we
+            # clamp nreps so short chains are exact instead of inflated)
+            nreps = max(1, min(nreps, opts.chain_length))
         else:
             X = jnp.asarray(Xnp, dtype)
             xw = X if ws.rinv is None else X * rinv[:, None]

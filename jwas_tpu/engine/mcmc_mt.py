@@ -535,6 +535,10 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
             X, xpx, grams, valid = md
             p_pad = X.shape[1]
             nreps = opts.nreps if opts.nreps is not None else bs
+            # exact chain-length accounting: never run more effective
+            # sweeps than the user asked for (JWAS.jl:313 floors; we
+            # clamp nreps so short chains are exact instead of inflated)
+            nreps = max(1, min(nreps, opts.chain_length))
         else:
             X = jnp.asarray(ws.geno.genotypes, dtype)
             xw = X if ws.rinv is None else X * rinv[:, None]

@@ -71,10 +71,13 @@ class MarkerBlocks(NamedTuple):
     valid: jnp.ndarray
 
 
-def default_block_size(n_markers: int) -> int:
-    """Reference default block size: floor(sqrt(p)) (JWAS.jl fast_blocks=true),
-    rounded up to a TPU lane multiple of 128 (min 128)."""
-    b = int(math.sqrt(max(n_markers, 1)))
+def default_block_size(n_obs: int) -> int:
+    """Default fast-blocks block size from the number of OBSERVATIONS:
+    the reference uses floor(sqrt(nObs)) (JWAS.jl:294-296). On TPU the block
+    axis is a VMEM tile dimension, so the value is rounded up to a multiple
+    of 128 sublanes (min 128) — a deliberate divergence for small n where the
+    reference would pick a tiny block; the sampler is valid for any b."""
+    b = int(math.sqrt(max(n_obs, 1)))
     return max(128, ((b + 127) // 128) * 128)
 
 
