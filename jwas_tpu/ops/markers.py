@@ -147,11 +147,15 @@ def _c0l_update(rhs_j, alpha_j, xpx_j, vare, lam_j, z, valid_j):
     return jnp.where(valid_j > 0, alpha_new, 0.0)
 
 
-def _bayesr_update(rhs_j, alpha_j, xpx_j, inv_vare, sigma_sq, log_pi_j, gumbel, z):
-    """BayesR 4-class mixture update (BayesR.jl:45-97).
+def bayesr_class_logprobs(rhs_j, alpha_j, xpx_j, inv_vare, sigma_sq, log_pi_j):
+    """Unnormalized BayesR class log-probabilities plus posterior moments.
 
-    log_pi_j: (B, 4) log class priors; gumbel: (B, 4); z: (B,).
-    Returns (alpha_new, delta_new) with delta in {0,1,2,3}.
+    The exact math of `bayesr_class_probabilities` in the reference replay
+    harness (benchmarks/bayesr_parity_replay_jwas.jl:45-59, BayesR.jl:45-97):
+    rhs_j = x_j' R^-1 ycorr (marker j excluded from ycorr via +xpx*alpha).
+    Returns (log_probs (B,4), beta_hat (B,3), inv_lhs (B,3)). Shared by the
+    production gumbel-max sweep and the fixed-draw parity replay so the
+    replay exercises the deployed kernel math.
     """
     gamma = jnp.asarray(BAYESR_GAMMA, dtype=rhs_j.dtype)
     rhs = (rhs_j + xpx_j * alpha_j) * inv_vare               # (B,)
@@ -162,6 +166,18 @@ def _bayesr_update(rhs_j, alpha_j, xpx_j, inv_vare, sigma_sq, log_pi_j, gumbel, 
     log_like = 0.5 * (jnp.log(inv_lhs) - jnp.log(var_eff)[None, :] + beta_hat * rhs[:, None])
     log_probs = jnp.concatenate(
         [log_pi_j[:, :1], log_pi_j[:, 1:] + log_like], axis=1
+    )
+    return log_probs, beta_hat, inv_lhs
+
+
+def _bayesr_update(rhs_j, alpha_j, xpx_j, inv_vare, sigma_sq, log_pi_j, gumbel, z):
+    """BayesR 4-class mixture update (BayesR.jl:45-97).
+
+    log_pi_j: (B, 4) log class priors; gumbel: (B, 4); z: (B,).
+    Returns (alpha_new, delta_new) with delta in {0,1,2,3}.
+    """
+    log_probs, beta_hat, inv_lhs = bayesr_class_logprobs(
+        rhs_j, alpha_j, xpx_j, inv_vare, sigma_sq, log_pi_j
     )
     klass = jnp.argmax(log_probs + gumbel, axis=1)            # Gumbel-max draw
     take = jnp.clip(klass - 1, 0, 2)

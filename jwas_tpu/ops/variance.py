@@ -54,17 +54,26 @@ def sample_marker_variance_bayesb(key, beta, df, scale):
     return (beta * beta + df * scale) / chi
 
 
+def bayesr_sigma_sufficient_statistics(alpha, delta):
+    """(ssq, nnz) for the BayesR shared sigma^2 draw
+    (bayesr_sigma_sufficient_statistics, variance_components.jl:68-79):
+    ssq = sum_{delta>0} alpha^2 / gamma_delta over 0-based class labels,
+    nnz = count of markers in nonzero classes."""
+    gamma = BAYESR_GAMMA.astype(alpha.dtype)
+    nz = delta > 0
+    g = gamma[jnp.clip(delta, 1, 3)]
+    ssq = jnp.sum(jnp.where(nz, alpha * alpha / g, 0.0))
+    nnz = jnp.sum(nz)
+    return ssq, nnz
+
+
 def sample_marker_variance_bayesr(key, alpha, delta, df, scale):
     """BayesR shared sigma^2 (variance_components.jl:68-79, :166-168).
 
     SSE = sum_{delta>0} alpha^2 / gamma_delta, df counts markers in nonzero
     classes. delta holds 0-based class labels (0 = null class).
     """
-    gamma = BAYESR_GAMMA.astype(alpha.dtype)
-    nz = delta > 0
-    g = gamma[jnp.clip(delta, 1, 3)]
-    ssq = jnp.sum(jnp.where(nz, alpha * alpha / g, 0.0))
-    nnz = jnp.sum(nz)
+    ssq, nnz = bayesr_sigma_sufficient_statistics(alpha, delta)
     return sample_scaled_inv_chi2(key, ssq, nnz, df, scale)
 
 

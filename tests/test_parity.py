@@ -1,0 +1,145 @@
+"""The fixed-seed parity harness against independent implementations.
+
+This is BASELINE.md's named acceptance bar (mirroring the reference's
+`benchmarks/bayesr_parity_*` machinery, bayesr_parity_common.jl:28-180):
+
+1. **Replay exactness** — one BayesR Gibbs iteration with pre-generated draws
+   through (a) the engine's production kernel math and (b) an independent
+   NumPy implementation must agree to float64 round-off on every per-marker
+   quantity (bayesr_parity_replay_compare.jl semantics).
+2. **Posterior parity** — long engine chains vs independent NumPy single-site
+   chains on the fixed parity dataset must agree within Monte-Carlo error on
+   sigmaSq / residual variance / inclusion frequency / marker effects
+   (bayesr_parity_compare.jl semantics).
+3. **Schema** — summary CSVs follow the reference parity schema byte-for-byte
+   in structure so they are directly comparable with reference outputs.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks.parity_common import (  # noqa: E402
+    REPLAY_MARKER_COLUMNS,
+    REPLAY_SCALAR_FIELDS,
+    build_bayesr_parity_dataset,
+    compare_replay_marker_tables,
+    compare_replay_scalar_tables,
+)
+from benchmarks.parity_run import run_parity  # noqa: E402
+
+
+def test_replay_engine_matches_independent_reference(tmp_path):
+    """Exact equality of the fixed-draw replay (the reference's jwas-vs-R
+    comparison, bayesr_parity_replay_compare.jl:24-44)."""
+    from benchmarks.parity_replay_engine import run_replay_engine
+    from benchmarks.parity_replay_reference import run_replay_reference
+
+    out = str(tmp_path / "replay")
+    ref_dir = run_replay_reference(out)
+    eng_dir = run_replay_engine(out)
+
+    m_eng = pd.read_csv(os.path.join(eng_dir, "replay_marker_iteration1.csv"))
+    m_ref = pd.read_csv(os.path.join(ref_dir, "replay_marker_iteration1.csv"))
+    s_eng = pd.read_csv(os.path.join(eng_dir, "replay_scalar_iteration1.csv"))
+    s_ref = pd.read_csv(os.path.join(ref_dir, "replay_scalar_iteration1.csv"))
+
+    assert list(m_eng.columns) == REPLAY_MARKER_COLUMNS
+    assert list(s_eng["field"]) == REPLAY_SCALAR_FIELDS
+
+    mr = compare_replay_marker_tables(m_eng, m_ref)
+    diff_cols = [c for c in mr.columns if c.endswith("_abs_diff")]
+    assert mr[diff_cols].to_numpy().max() < 1e-10
+    sr = compare_replay_scalar_tables(s_eng, s_ref)
+    assert sr["abs_diff"].max() < 1e-10
+    # class choices must agree exactly, not just numerically
+    assert (mr["chosen_class_abs_diff"] == 0).all()
+
+
+def test_parity_dataset_semantics():
+    """Dataset builder semantics match the reference generator
+    (bayesr_parity_common.jl:28-60)."""
+    ds = build_bayesr_parity_dataset(seed=123, n_obs=50, n_markers=10)
+    assert ds.X.shape == (50, 10)
+    assert set(np.unique(ds.X)) <= {0.0, 1.0, 2.0}
+    assert (ds.allele_freq >= 0.1).all() and (ds.allele_freq <= 0.4).all()
+    np.testing.assert_allclose(ds.beta_true[:3], [0.8, -0.5, 0.3])
+    assert (ds.beta_true[3:] == 0).all()
+    # reproducible for a fixed seed
+    ds2 = build_bayesr_parity_dataset(seed=123, n_obs=50, n_markers=10)
+    np.testing.assert_array_equal(ds.X, ds2.X)
+    np.testing.assert_array_equal(ds.y, ds2.y)
+
+
+def _check_report(report, *, sigma_rtol, pi_atol=None):
+    sc = report["scalar_report"].set_index("metric")
+    assert sc.loc["sigmaSq", "rel_diff"] < sigma_rtol
+    assert sc.loc["residual_variance", "rel_diff"] < 0.05
+    assert sc.loc["mean_nonzero_frequency", "abs_diff"] < 0.02
+    assert report["marker_correlation"] > 0.95
+    assert report["marker_report"]["abs_diff"].max() < 0.05
+    assert report["marker_report"]["model_frequency_abs_diff"].max() < 0.05
+    if pi_atol is not None:
+        assert report["pi_report"]["abs_diff"].max() < pi_atol
+
+
+def test_posterior_parity_bayesr_fixed_pi(tmp_path):
+    report = run_parity(str(tmp_path / "fixed"), mode="fixed_pi",
+                        chain_length=8000, burnin=2000)
+    _check_report(report, sigma_rtol=0.10)
+
+
+def test_posterior_parity_bayesr_estimate_pi(tmp_path):
+    report = run_parity(str(tmp_path / "est"), mode="estimate_pi",
+                        chain_length=8000, burnin=2000)
+    _check_report(report, sigma_rtol=0.25, pi_atol=0.03)
+
+
+def test_posterior_parity_bayesc(tmp_path):
+    report = run_parity(str(tmp_path / "bayesc"), mode="bayesc",
+                        chain_length=8000, burnin=2000)
+    sc = report["scalar_report"].set_index("metric")
+    assert sc.loc["residual_variance", "rel_diff"] < 0.05
+    assert sc.loc["mean_nonzero_frequency", "abs_diff"] < 0.02
+    assert report["marker_correlation"] > 0.95
+    assert report["pi_report"]["abs_diff"].max() < 0.03
+
+
+def test_summary_schema(tmp_path):
+    """Summary CSVs carry the exact reference schema
+    (bayesr_parity_common.jl:138-180)."""
+    run_parity(str(tmp_path / "s"), mode="fixed_pi",
+               chain_length=400, burnin=100)
+    eng = str(tmp_path / "s" / "jwas_fixed_pi")
+    sm = pd.read_csv(os.path.join(eng, "scalar_metrics.csv"))
+    assert list(sm.columns) == ["metric", "value"]
+    assert list(sm["metric"]) == [
+        "sigmaSq", "residual_variance", "mean_nonzero_frequency"
+    ]
+    pi = pd.read_csv(os.path.join(eng, "pi.csv"))
+    assert list(pi.columns) == ["class", "estimate"]
+    assert list(pi["class"]) == [f"class{i + 1}" for i in range(4)]
+    me = pd.read_csv(os.path.join(eng, "marker_effects.csv"))
+    assert list(me.columns) == ["marker_id", "estimate", "model_frequency"]
+    assert len(me) == 12
+    data = str(tmp_path / "s" / "data")
+    for f in ("genotypes.csv", "phenotypes.csv", "config.csv",
+              "initial_state.csv", "initial_scalars.csv"):
+        assert os.path.isfile(os.path.join(data, f))
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_INTEGRATION_TESTS", "").lower() != "true",
+    reason="set RUN_INTEGRATION_TESTS=true for the long multiseed parity sweep",
+)
+def test_posterior_parity_multiseed(tmp_path):
+    """Multi-seed robustness sweep (bayesr_parity_multiseed.jl)."""
+    for seed in (2026, 31, 77):
+        report = run_parity(str(tmp_path / f"seed{seed}"), mode="fixed_pi",
+                            chain_length=8000, burnin=2000, seed=seed)
+        _check_report(report, sigma_rtol=0.15)
