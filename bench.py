@@ -2,8 +2,15 @@
 
 Headline metric matching BASELINE.md: EFFECTIVE marker-effect updates per
 second for the blocked (fast_blocks) BayesC sampler, using the reference's
-own block-mode accounting (each outer iteration performs nreps=block_size
-inner sweeps; chain length is rescaled accordingly, JWAS.jl:293-316).
+own block-mode accounting (each outer iteration performs nreps inner sweeps;
+chain length is rescaled accordingly, JWAS.jl:293-316).
+
+Default configuration is the NORTH-STAR problem size from BASELINE.md:
+p = 1,048,576 markers (>=1M) on one chip, held as a 2-bit packed store
+(streaming_genotypes.jl analogue; dense f32 X would be 47 GB and cannot fit),
+with the Pallas kernel running the inner block rounds and the residual-sync
+GEMVs streaming decoded tiles from the packed store. BENCH_MODE=dense selects
+the previous dense-f32 configuration (p=98,304 sized to HBM).
 
 vs_baseline compares against the reference's BEST published configuration:
 blocked BayesC at N=50k, P=2M, L=2000 effective sweeps in 3,449 s on a
@@ -18,8 +25,6 @@ import json
 import os
 import sys
 import time
-
-import numpy as np
 
 # JWAS fast_blocks on a 64-CPU node: 2e6 markers * 2000 effective sweeps / 3449 s
 BASELINE_UPDATES_PER_SEC = 2_000_000 * 2_000 / 3_449.0  # ~1.16e6
@@ -38,25 +43,9 @@ def _sync(x) -> float:
     return float(jnp.asarray(x).reshape(-1)[0])
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    # The FIRST device->host fetch in a process pays a one-time ~2-4 min
-    # channel-setup cost over the tunnel; pay it now so timed fetches are ~30ms.
-    _sync(jnp.ones((1,)))
-
-    from jwas_tpu.engine.mcmc import STEngineCfg, make_run_window, _init_accum, STData
-    from jwas_tpu.engine.state import ChainState
+def _build_dense(jax, jnp, n, p, block, dtype):
+    """Dense-f32 marker blocks with synthetic binomial genotypes."""
     from jwas_tpu.ops import markers as mk
-
-    # Size to fit one chip's HBM (v5e 16GB): n=12k x p=98304 (384 blocks of 256, no pad copy) f32 X = 4.7 GB.
-    n = int(os.environ.get("BENCH_N", 12_000))
-    p = int(os.environ.get("BENCH_P", 98_304))
-    block = int(os.environ.get("BENCH_BLOCK", 256))
-    nreps = int(os.environ.get("BENCH_NREPS", block))
-    n_outer = int(os.environ.get("BENCH_OUTER", 4))
-    dtype = jnp.float32
 
     key = jax.random.PRNGKey(0)
     kf, ke = jax.random.split(key, 2)
@@ -84,37 +73,140 @@ def main():
     )
     y = X @ beta_true + jax.random.normal(ke, (n,)) * 1.0
     y = y - jnp.mean(y)
-    # Use analytic var(y) to avoid an extra device fetch during setup.
-    # var(y) ~= p*0.01*E[beta^2]*E[2pq] + 1; only throughput matters here.
-    vary_analytic = 0.01 * p * 0.42 + 1.0
-
     md = mk.build_marker_blocks(X, block_size=block)
-    p_pad = md.X.shape[1]
+    return md, None, y
+
+
+def _build_packed(jax, jnp, n, p, block, dtype):
+    """Synthetic 2-bit packed store generated and packed on device, plus the
+    fast-blocks Gram tiles decoded from it (the north-star memory layout:
+    packed 2-bit X = n*p/4 bytes, grams = 4*b*p bytes)."""
+    from jwas_tpu.ops.packed import packed_markers_from_arrays, packed_matvec
+
+    key = jax.random.PRNGKey(0)
+    n_pad = -(-n // 4) * 4
+    bpm = n_pad // 4
+
+    @jax.jit
+    def gen_packed_chunk(k, f):
+        # (chunk, n_pad) codes in {0,1,2}; tail columns read as code 0 and are
+        # excluded by the identity fast path's n_obs slice.
+        k1, k2 = jax.random.split(k)
+        cn = f.shape[0]
+        u1 = jax.random.uniform(k1, (cn, n_pad))
+        u2 = jax.random.uniform(k2, (cn, n_pad))
+        codes = (u1 < f[:, None]).astype(jnp.uint8) + (u2 < f[:, None]).astype(jnp.uint8)
+        c = codes.reshape(cn, bpm, 4)
+        packed = (
+            c[:, :, 0]
+            | (c[:, :, 1] << 2)
+            | (c[:, :, 2] << 4)
+            | (c[:, :, 3] << 6)
+        )
+        return packed
+
+    kf = jax.random.fold_in(key, 1)
+    freqs = jax.random.uniform(kf, (p,), minval=0.1, maxval=0.9)
+    chunk = 32_768
+    parts = []
+    for c0 in range(0, p, chunk):
+        c1 = min(c0 + chunk, p)
+        parts.append(gen_packed_chunk(jax.random.fold_in(key, c0), freqs[c0:c1]))
+    packed = jnp.concatenate(parts, axis=0)
+    del parts
+    means = 2.0 * freqs  # theoretical column means; consistent across decode
+    valid = jnp.ones((p,), dtype)
+
+    t0 = time.perf_counter()
+    pm = packed_markers_from_arrays(
+        packed, means.astype(jnp.float32), valid, None, n, block,
+        dtype=dtype, gram_chunk=32,
+    )
+    _sync(pm.xpx)
+    print(f"# gram precompute: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    ke = jax.random.fold_in(key, 2)
+    beta_true = jax.random.normal(ke, (p,)) * jnp.where(
+        jax.random.uniform(ke, (p,)) < 0.001, 1.0, 0.0
+    )
+    y = packed_matvec(pm, beta_true.astype(dtype), n_obs=n)
+    y = y + jax.random.normal(ke, (n,)).astype(dtype)
+    y = y - jnp.mean(y)
+    return None, pm, y
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # The FIRST device->host fetch in a process pays a one-time ~2-4 min
+    # channel-setup cost over the tunnel; pay it now so timed fetches are ~30ms.
+    _sync(jnp.ones((1,)))
+
+    from jwas_tpu.engine.mcmc import STEngineCfg, make_run_window, _init_accum, STData
+    from jwas_tpu.engine.state import ChainState
+
+    mode = os.environ.get("BENCH_MODE", "packed")
+    if mode == "packed":
+        # North star: p >= 1M markers on one chip (BASELINE.md), 2-bit packed
+        # (3 GB at n=12k) + b=128 Gram tiles (0.5 GB).
+        n = int(os.environ.get("BENCH_N", 12_000))
+        p = int(os.environ.get("BENCH_P", 1_048_576))
+        block = int(os.environ.get("BENCH_BLOCK", 128))
+    else:
+        # dense f32 X sized to one chip's HBM (4.7 GB at these defaults)
+        n = int(os.environ.get("BENCH_N", 12_000))
+        p = int(os.environ.get("BENCH_P", 98_304))
+        block = int(os.environ.get("BENCH_BLOCK", 256))
+    nreps = int(os.environ.get("BENCH_NREPS", block))
+    n_outer = int(os.environ.get("BENCH_OUTER", 2 if mode == "packed" else 4))
+    dtype = jnp.float32
+
+    t_setup = time.perf_counter()
+    if mode == "packed":
+        md, pm, y = _build_packed(jax, jnp, n, p, block, dtype)
+        xpx, grams, valid = pm.xpx, pm.grams, pm.valid
+        X = jnp.zeros((n, 0), dtype)
+        p_pad = pm.packed.shape[0]
+    else:
+        md, pm, y = _build_dense(jax, jnp, n, p, block, dtype)
+        X, xpx, grams, valid = md.X, md.xpx, md.grams, md.valid
+        p_pad = X.shape[1]
+    print(f"# setup: {time.perf_counter() - t_setup:.1f}s", file=sys.stderr)
+
     K = 1
     W = jnp.ones((n, K), dtype)
+    vary_analytic = float(0.001 * p * 0.42 + 1.0) if mode == "packed" else (
+        0.01 * p * 0.42 + 1.0
+    )
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     sync_every = int(os.environ.get("BENCH_SYNC", min(8, nreps)))
+    nblocks = grams.shape[2]
     cfg = STEngineCfg(
         method="BayesC", n_obs=n, n_markers=p, n_loc=K,
         estimate_pi=True, estimate_marker_variance=True, estimate_scale=False,
         estimate_residual_variance=True, use_blocks=True, nreps=nreps,
         sync_every=sync_every,
         re_groups=(), df_residual=4.0, df_marker=4.0, has_weights=False,
-        use_pallas=use_pallas and (p // block) % 128 == 0,
+        use_pallas=use_pallas and nblocks % 128 == 0,
+        is_packed=(mode == "packed"),
         scale_R=vary_analytic * 0.5,
     )
     data = STData(
         W=W, WtRinvW=(W.T @ W), rinv=jnp.ones((n,), dtype), y=y,
-        X=md.X, xpx=md.xpx, grams=md.grams, valid=md.valid,
+        X=X, xpx=xpx, grams=grams, valid=valid,
         Vinv=(), vc_scale=(),
         out_geno=jnp.zeros((0, p), dtype), out_W=jnp.zeros((0, K), dtype),
+        packed=pm.packed if pm is not None else None,
+        packed_means=pm.means if pm is not None else None,
+        row_perm=pm.row_perm if pm is not None else None,
     )
-    pi0 = jnp.where(md.valid > 0, 0.95, 1.0).astype(dtype)
+    pi0 = jnp.where(valid > 0, 0.95, 1.0).astype(dtype)
     state = ChainState(
         key=jax.random.PRNGKey(42), sol=jnp.zeros((K,), dtype),
         alpha=jnp.zeros((p_pad,), dtype), beta=jnp.zeros((p_pad,), dtype),
-        delta=jnp.where(md.valid > 0, 1, 0).astype(jnp.int32),
+        delta=jnp.where(valid > 0, 1, 0).astype(jnp.int32),
         gamma_l=jnp.ones((p_pad,), dtype),
         ycorr=y - W @ jnp.zeros((K,), dtype),
         vare=jnp.asarray(vary_analytic * 0.5, dtype),
@@ -128,8 +220,10 @@ def main():
     accum = _init_accum(cfg, data, state)
 
     # warm-up / compile with the same static n_iters as the timed call
+    t_c = time.perf_counter()
     state, accum, _ = run_window(state, data, accum, n_outer, accumulate=True)
     _sync(state.vare)
+    print(f"# compile+warmup: {time.perf_counter() - t_c:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     state, accum, out = run_window(state, data, accum, n_outer, accumulate=True)
@@ -149,7 +243,7 @@ def main():
         )
     )
     print(
-        f"# n={n} p={p} block={block} nreps={nreps} sync={sync_every} "
+        f"# mode={mode} n={n} p={p} block={block} nreps={nreps} sync={sync_every} "
         f"outer={n_outer} wall={dt:.2f}s sweeps/s={nreps*n_outer/dt:.2f} "
         f"vs_single_core_nonblock={rate/SINGLE_CORE_NONBLOCK:.0f}x "
         f"pallas={use_pallas} device={jax.devices()[0]}",

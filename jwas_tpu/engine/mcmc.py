@@ -162,10 +162,20 @@ def make_st_step(cfg: EngineCfg):
                 data.packed, data.packed_means, data.row_perm,
                 data.xpx, data.grams, data.valid,
             )
-            alpha, beta, delta, ycorr = sweep_blocks_abc_packed(
-                pm, alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
-                k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
-            )
+            if cfg.use_pallas:
+                from jwas_tpu.ops.pallas_sweep import sweep_blocks_abc_pallas_packed
+
+                interp = jax.default_backend() not in ("tpu", "axon")
+                alpha, beta, delta, ycorr = sweep_blocks_abc_pallas_packed(
+                    pm, alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
+                    k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                    interpret=interp,
+                )
+            else:
+                alpha, beta, delta, ycorr = sweep_blocks_abc_packed(
+                    pm, alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
+                    k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                )
         elif cfg.method in ("BayesC", "BayesB") and cfg.use_pallas:
             from jwas_tpu.ops.pallas_sweep import sweep_blocks_abc_pallas
 
@@ -729,7 +739,6 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         use_pallas=(
             bool(opts.use_pallas)
             and use_blocks
-            and packed_pm is None
             and method in ("BayesC", "BayesB")
             and grams.shape[2] % 128 == 0
         ),
@@ -775,7 +784,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     if packed_pm is not None:
         from jwas_tpu.ops.packed import packed_matvec
 
-        ycorr = ycorr - packed_matvec(packed_pm, alpha)
+        ycorr = ycorr - packed_matvec(packed_pm, alpha, n_obs=n)
     elif method == "GBLUP":
         ycorr = ycorr - X @ alpha
     elif p > 0:

@@ -204,7 +204,11 @@ def make_mt_step(cfg: MTEngineCfg):
         if cfg.method in ("BayesC", "BayesB"):
             if cfg.constraint:
                 # mega-trait: vmap the single-trait spike-slab sweep over traits
-                var_eff_t = jnp.diagonal(varg)
+                if varg.ndim == 3:
+                    # per-locus BayesB variances -> (t, p_pad) per-trait vectors
+                    var_eff_t = jnp.diagonal(varg, axis1=1, axis2=2).T
+                else:
+                    var_eff_t = jnp.diagonal(varg)
                 pi_t = jnp.where(
                     data.valid[None, :] > 0,
                     jnp.clip(pi, 1e-10, 1.0)[:, None],
@@ -296,7 +300,32 @@ def make_mt_step(cfg: MTEngineCfg):
                 pi = jax.random.dirichlet(k_pi, counts + 1.0).astype(dtype)
 
         # ------- 2c. marker-effect covariance -------
-        if cfg.estimate_marker_variance and cfg.method != "none":
+        if cfg.estimate_marker_variance and cfg.method == "BayesB":
+            # per-locus (t, t) covariances (variance_components.jl:180-187:
+            # G_j ~ sample_variance(beta_j, 1, df, scale, false, constraint));
+            # beta (not alpha) is the data, exactly like ST BayesB
+            p_pad = beta.shape[1]
+            if cfg.constraint:
+                chi = sample_chi2(
+                    k_var, jnp.full((t, p_pad), 1.0 + cfg.df_marker)
+                )
+                diag_j = (
+                    beta**2
+                    + cfg.df_marker * jnp.diagonal(data.marker_scale)[:, None]
+                ) / chi                                     # (t, p_pad)
+                varg = (
+                    jnp.eye(t, dtype=dtype)[None, :, :]
+                    * diag_j.T[:, :, None]
+                ).astype(dtype)                              # (p_pad, t, t)
+            else:
+                SSE_j = jnp.einsum("tp,sp->pts", beta, beta)  # (p_pad, t, t)
+                keys_p = jax.random.split(k_var, p_pad)
+                varg = jax.vmap(
+                    lambda k2, S: sample_inv_wishart(
+                        k2, cfg.df_marker + 1.0, data.marker_scale + S
+                    )
+                )(keys_p, SSE_j).astype(dtype)
+        elif cfg.estimate_marker_variance and cfg.method != "none":
             data_mat = beta if cfg.method == "BayesC" else alpha   # (t, p_pad)
             if cfg.method == "BayesL":
                 data_w = data_mat / jnp.sqrt(gamma_l)[None, :]
@@ -453,7 +482,12 @@ def make_mt_run_window(cfg: MTEngineCfg):
         else:
             genvar = jnp.zeros((cfg.n_traits, cfg.n_traits), ebv.dtype)
         h2 = jnp.diagonal(genvar) / (jnp.diagonal(genvar) + jnp.diagonal(state.R))
-        out = MTSampleOut(R=state.R, varg=state.varg, pi=state.pi, ebv=ebv,
+        # per-locus BayesB covariances: ship the across-loci mean to the host
+        varg_out = (
+            state.varg[: cfg.n_markers].mean(axis=0)
+            if state.varg.ndim == 3 else state.varg
+        )
+        out = MTSampleOut(R=state.R, varg=varg_out, pi=state.pi, ebv=ebv,
                           genvar=genvar, h2=h2, lam=state.Lambda)
         if accumulate:
             n = accum.n + 1.0
@@ -769,11 +803,19 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
     else:
         pi0 = jnp.zeros((2**t,), dtype).at[-1].set(1.0)
 
+    if method == "BayesB":
+        # per-locus covariances (MTBayesABC.jl:37-52 locus_effect_variances)
+        varg0 = np.broadcast_to(
+            np.asarray(marker_var0, dtype=np.float64), (p_pad, t, t)
+        ).copy()
+    else:
+        varg0 = marker_var0
+
     state = MTChainState(
         key=key, sol=sol, alpha=alpha, beta=beta, delta=delta, gamma_l=gamma_l,
         ycorr=ycorr,
         R=jnp.asarray(np.atleast_2d(ws.vare0), dtype),
-        varg=jnp.asarray(marker_var0, dtype),
+        varg=jnp.asarray(varg0, dtype),
         pi=pi0, vc=tuple(vc0),
         liab=liab0 if liab0 is not None else jnp.zeros((0,), dtype),
         thresholds=thresholds0 if thresholds0 is not None else jnp.zeros((0,), dtype),

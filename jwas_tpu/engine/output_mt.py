@@ -61,8 +61,15 @@ def build_mt_results(ws, cfg, accum, samples, opts) -> Dict[str, pd.DataFrame]:
                 "Model_Frequency": delta_m.reshape(-1),
             }
         )
+        varg_m = np.asarray(accum.varg_m)
+        varg_sd = _sd(accum.varg_m, accum.varg_m2)
+        if varg_m.ndim == 3:
+            # per-locus BayesB covariances: report the across-loci mean of the
+            # per-locus posterior means (and of the per-locus SDs)
+            varg_m = varg_m[:p].mean(axis=0)
+            varg_sd = varg_sd[:p].mean(axis=0)
         results[f"marker effects variances {g.name}"] = _cov_df(
-            model.lhs_vec, accum.varg_m, _sd(accum.varg_m, accum.varg_m2)
+            model.lhs_vec, varg_m, varg_sd
         )
         if cfg.estimate_pi:
             pi_m = np.asarray(accum.pi_m)

@@ -140,6 +140,16 @@ def _mt_from_j(x):  # (b, t, nblocks) -> (t, p_pad)
     return x.transpose(1, 2, 0).reshape(x.shape[1], -1)
 
 
+def _ginv_jmajor(ginv, nblocks, b):
+    """Per-locus (p_pad, t, t) inverse covariances -> j-major
+    (b, nblocks, t, t) so step j slices a per-block batch; returns None for a
+    shared (t, t) ginv (the common BayesC case)."""
+    if ginv.ndim == 2:
+        return None
+    t = ginv.shape[1]
+    return ginv.reshape(nblocks, b, t, t).transpose(1, 0, 2, 3)
+
+
 @partial(jax.jit, static_argnames=("nreps", "sync_every"))
 def mt_abc_blocks_I(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
                     ginv, pi, key, nreps: int = 1, sync_every=None):
@@ -147,7 +157,9 @@ def mt_abc_blocks_I(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
     reconciled every `sync_every` inner reps (see markers._sync_rounds).
 
     alpha/beta/delta: (t, p_pad); ycorr: (t, n); vare: (t, t);
-    ginv: (t, t) inverse marker-effect covariance (common across markers);
+    ginv: (t, t) inverse marker-effect covariance (common across markers,
+    BayesC) or (p_pad, t, t) per-locus covariances (MT BayesB,
+    MTBayesABC.jl:37-52 `locus_effect_variances`);
     pi: (2^t,) pattern priors (padded markers handled by masking alpha).
     """
     from jwas_tpu.ops.markers import _sync_rounds
@@ -159,14 +171,16 @@ def mt_abc_blocks_I(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
     log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0))
     xpx_b = md.xpx.reshape(nblocks, b).T                      # (b, nblocks)
     valid_b = md.valid.reshape(nblocks, b).T
+    ginv_b = _ginv_jmajor(ginv, nblocks, b)
 
     def step(carry, inp):
         alpha_j, beta_j, delta_j, rhs_j = carry
         j, u, z = inp
         a_old = alpha_j[j]                                     # (t, nblocks)
         w = rhs_j[j] + xpx_b[j][None, :] * a_old
+        ginv_j = ginv if ginv_b is None else jnp.moveaxis(ginv_b[j], 0, -1)
         b_new, d_new, a_new = _mt_abc_marker_update_I(
-            w, beta_j[j], delta_j[j], a_old, xpx_b[j], Rinv, ginv, log_pi, u, z
+            w, beta_j[j], delta_j[j], a_old, xpx_b[j], Rinv, ginv_j, log_pi, u, z
         )
         a_new = a_new * valid_b[j][None, :]
         d_new = d_new * valid_b[j][None, :]
@@ -202,12 +216,14 @@ def mt_abc_blocks_I(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
 
 @jax.jit
 def mt_abc_exact_I(X, xpx, alpha, beta, delta, ycorr, rinv, vare, ginv, pi, key):
-    """Sequential multi-trait sampler I (MTBayesABC.jl:57-127)."""
+    """Sequential multi-trait sampler I (MTBayesABC.jl:57-127). ginv: (t, t)
+    shared or (p, t, t) per-locus (MT BayesB)."""
     n, p = X.shape
     t = alpha.shape[0]
     dtype = ycorr.dtype
     Rinv = jnp.linalg.inv(vare)
     log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0))
+    per_locus = ginv.ndim == 3
     ku, kz = jax.random.split(key)
     us = jax.random.uniform(ku, (p, t, 1), dtype=dtype)
     zs = jax.random.normal(kz, (p, t, 1), dtype=dtype)
@@ -219,9 +235,10 @@ def mt_abc_exact_I(X, xpx, alpha, beta, delta, ycorr, rinv, vare, ginv, pi, key)
         xw = x if rinv is None else x * rinv
         a_old = alpha[:, j][:, None]
         w = (ycorr @ xw)[:, None] + xpx[j] * a_old
+        ginv_j = ginv[j][:, :, None] if per_locus else ginv
         b_new, d_new, a_new = _mt_abc_marker_update_I(
             w, beta[:, j][:, None], delta[:, j][:, None], a_old,
-            xpx[j][None], Rinv, ginv, log_pi, u, z,
+            xpx[j][None], Rinv, ginv_j, log_pi, u, z,
         )
         ycorr = ycorr + (a_old - a_new) * x[None, :]
         return (
@@ -244,7 +261,8 @@ def _mt_abc_marker_update_II(w, xpx_j, Rinv, Ginv, log_pi, patterns, gum, z):
     """Joint-state update for one marker, batched over B
     (MTBayesABC.jl:165-209).
 
-    w: (t, B); xpx_j: (B,); Rinv, Ginv: (t, t); patterns: (S, t);
+    w: (t, B); xpx_j: (B,); Rinv: (t, t); Ginv: (t, t) shared or (B, t, t)
+    per-locus (MT BayesB); patterns: (S, t);
     gum: (S, B) gumbel noise; z: (t, B) shared standard normals.
     Returns (beta (t,B), delta (t,B), alpha (t,B)).
     """
@@ -254,7 +272,8 @@ def _mt_abc_marker_update_II(w, xpx_j, Rinv, Ginv, log_pi, patterns, gum, z):
     RinvLhs = jnp.einsum("sij,jk,skl->sil", D, Rinv, D)         # D Rinv D
     RinvRhs = jnp.einsum("ij,sjk->sik", Rinv, D)                # Rinv D
 
-    lhs = RinvLhs[:, None] * xpx_j[None, :, None, None] + Ginv[None, None]  # (S,B,t,t)
+    Ginv_b = Ginv[None] if Ginv.ndim == 3 else Ginv[None, None]
+    lhs = RinvLhs[:, None] * xpx_j[None, :, None, None] + Ginv_b  # (S,B,t,t)
     inv_lhs = jnp.linalg.inv(lhs)
     rhs = jnp.einsum("sji,jB->sBi", RinvRhs, w)                 # (S, B, t)
     g_hat = jnp.einsum("sBij,sBj->sBi", inv_lhs, rhs)
@@ -273,7 +292,8 @@ def _mt_abc_marker_update_II(w, xpx_j, Rinv, Ginv, log_pi, patterns, gum, z):
 @partial(jax.jit, static_argnames=("nreps", "sync_every"))
 def mt_abc_blocks_II(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
                      ginv, pi, key, nreps: int = 1, sync_every=None):
-    """Blocked multi-trait sampler II (joint 2^t-state update)."""
+    """Blocked multi-trait sampler II (joint 2^t-state update). ginv: (t, t)
+    shared or (p_pad, t, t) per-locus (MT BayesB)."""
     from jwas_tpu.ops.markers import _sync_rounds
 
     b, _, nblocks = md.grams.shape
@@ -284,14 +304,16 @@ def mt_abc_blocks_II(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
     log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0))
     xpx_b = md.xpx.reshape(nblocks, b).T
     valid_b = md.valid.reshape(nblocks, b).T
+    ginv_b = _ginv_jmajor(ginv, nblocks, b)
 
     def step(carry, inp):
         alpha_j, beta_j, delta_j, rhs_j = carry
         j, g, z = inp
         a_old = alpha_j[j]
         w = rhs_j[j] + xpx_b[j][None, :] * a_old
+        ginv_j = ginv if ginv_b is None else ginv_b[j]
         b_new, d_new, a_new = _mt_abc_marker_update_II(
-            w, xpx_b[j], Rinv, ginv, log_pi, patterns, g, z
+            w, xpx_b[j], Rinv, ginv_j, log_pi, patterns, g, z
         )
         a_new = a_new * valid_b[j][None, :]
         d_new = d_new * valid_b[j][None, :]
@@ -327,13 +349,15 @@ def mt_abc_blocks_II(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
 
 @jax.jit
 def mt_abc_exact_II(X, xpx, alpha, beta, delta, ycorr, rinv, vare, ginv, pi, key):
-    """Sequential multi-trait sampler II (MTBayesABC.jl:129-210)."""
+    """Sequential multi-trait sampler II (MTBayesABC.jl:129-210). ginv:
+    (t, t) shared or (p, t, t) per-locus (MT BayesB)."""
     n, p = X.shape
     t = alpha.shape[0]
     dtype = ycorr.dtype
     Rinv = jnp.linalg.inv(vare)
     patterns = all_patterns(t).astype(dtype)
     log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0))
+    per_locus = ginv.ndim == 3
     kg, kz = jax.random.split(key)
     gums = jax.random.gumbel(kg, (p, 2**t, 1), dtype=dtype)
     zs = jax.random.normal(kz, (p, t, 1), dtype=dtype)
@@ -345,8 +369,9 @@ def mt_abc_exact_II(X, xpx, alpha, beta, delta, ycorr, rinv, vare, ginv, pi, key
         xw = x if rinv is None else x * rinv
         a_old = alpha[:, j][:, None]
         w = (ycorr @ xw)[:, None] + xpx[j] * a_old
+        ginv_j = ginv[j][None] if per_locus else ginv
         b_new, d_new, a_new = _mt_abc_marker_update_II(
-            w, xpx[j][None], Rinv, ginv, log_pi, patterns, g, z
+            w, xpx[j][None], Rinv, ginv_j, log_pi, patterns, g, z
         )
         ycorr = ycorr + (a_old - a_new) * x[None, :]
         return (

@@ -32,14 +32,21 @@ class PackedMarkers(NamedTuple):
     valid: jnp.ndarray      # (p_pad,)
 
 
-def decode_tile(packed_rows, means_rows, row_perm, dtype=jnp.float32):
-    """Decode (k, bpm) packed rows -> centered (n_obs, k) float tile."""
+def decode_tile(packed_rows, means_rows, row_perm, dtype=jnp.float32,
+                n_obs: int = 0):
+    """Decode (k, bpm) packed rows -> centered (n_obs, k) float tile.
+
+    row_perm=None is the identity fast path (observations already in store
+    order): the permutation gather is skipped and only the first `n_obs`
+    decoded columns are kept (the tail is sub-byte padding)."""
     shifts = jnp.asarray([0, 2, 4, 6], jnp.uint8)
     codes = (packed_rows[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
     codes = codes.reshape(packed_rows.shape[0], -1)            # (k, 4*bpm)
     x = codes.astype(dtype)
     m = means_rows.astype(dtype)[:, None]
     x = jnp.where(x == 3.0, m, x) - m
+    if row_perm is None:
+        return x[:, :n_obs].T                                   # (n_obs, k)
     return x[:, row_perm].T                                     # (n_obs, k)
 
 
@@ -52,26 +59,28 @@ def _pick_chunk(p_pad: int, b: int, target: int = 4096) -> int:
     return k * b
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def packed_matvec(pm: PackedMarkers, v, chunk: int = 0):
+@partial(jax.jit, static_argnames=("chunk", "n_obs"))
+def packed_matvec(pm: PackedMarkers, v, chunk: int = 0, n_obs: int = 0):
     """X @ v without densifying X: scan over marker chunks of the packed
     store, decoding each tile into VMEM-sized registers (streaming_mul_alpha!,
-    :1009-1027, but tiled and on-device)."""
+    :1009-1027, but tiled and on-device). n_obs is required (static) when
+    pm.row_perm is None (identity fast path)."""
     p_pad = pm.packed.shape[0]
     if chunk <= 0:
         chunk = _pick_chunk(p_pad, pm.grams.shape[0])
     nchunks = p_pad // chunk
     dtype = v.dtype
+    n = pm.row_perm.shape[0] if pm.row_perm is not None else n_obs
 
     def body(acc, k):
         rows = jax.lax.dynamic_slice(pm.packed, (k * chunk, 0),
                                      (chunk, pm.packed.shape[1]))
         mns = jax.lax.dynamic_slice(pm.means, (k * chunk,), (chunk,))
         vs = jax.lax.dynamic_slice(v, (k * chunk,), (chunk,))
-        X = decode_tile(rows, mns, pm.row_perm, dtype)
+        X = decode_tile(rows, mns, pm.row_perm, dtype, n_obs=n)
         return acc + X @ vs, None
 
-    acc0 = jnp.zeros((pm.row_perm.shape[0],), dtype)
+    acc0 = jnp.zeros((n,), dtype)
     acc, _ = jax.lax.scan(body, acc0, jnp.arange(nchunks))
     return acc
 
@@ -84,12 +93,13 @@ def packed_rhs(pm: PackedMarkers, w, chunk: int = 0):
         chunk = _pick_chunk(p_pad, pm.grams.shape[0])
     nchunks = p_pad // chunk
     dtype = w.dtype
+    n = w.shape[0]
 
     def body(_, k):
         rows = jax.lax.dynamic_slice(pm.packed, (k * chunk, 0),
                                      (chunk, pm.packed.shape[1]))
         mns = jax.lax.dynamic_slice(pm.means, (k * chunk,), (chunk,))
-        X = decode_tile(rows, mns, pm.row_perm, dtype)
+        X = decode_tile(rows, mns, pm.row_perm, dtype, n_obs=n)
         return None, X.T @ w
 
     _, parts = jax.lax.scan(body, None, jnp.arange(nchunks))
@@ -152,7 +162,8 @@ def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
             md, step, (alpha_b, beta_b, delta_b, rhs0), (us, zs), reps, b
         )
         ycorr = ycorr + packed_matvec(
-            pm, mk._from_jmajor(alpha_start - alpha_b), chunk=chunk
+            pm, mk._from_jmajor(alpha_start - alpha_b), chunk=chunk,
+            n_obs=ycorr.shape[0],
         )
         return (alpha_b, beta_b, delta_b, ycorr)
 
@@ -169,47 +180,29 @@ def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
     )
 
 
-def build_packed_markers(store, obs_ids, block_size: int, rinv=None,
-                         dtype=jnp.float32, gram_chunk: int = 8) -> PackedMarkers:
-    """Stage a host Packed2BitStore on device and precompute the fast-blocks
-    Gram tiles from decoded tiles (GibbsMats analogue, tools4genotypes.jl:237-275).
-
-    obs_ids selects/permutes store rows to the phenotype order (row gather on
-    device after decode — packed bits are never repacked).
-    """
-    import numpy as np
-
-    index = {s: i for i, s in enumerate(store.obs_ids)}
-    try:
-        perm = np.asarray([index[s] for s in obs_ids], dtype=np.int32)
-    except KeyError as e:
-        raise ValueError(f"individual {e} has no genotypes") from None
-
-    p = store.n_markers
+def packed_markers_from_arrays(packed, means, valid, row_perm, n_obs: int,
+                               block_size: int, rinv=None, dtype=jnp.float32,
+                               gram_chunk: int = 8) -> PackedMarkers:
+    """Device-side PackedMarkers constructor: precompute the fast-blocks Gram
+    tiles + xpx from decoded tiles (GibbsMats analogue,
+    tools4genotypes.jl:237-275). packed (p_pad, bpm) uint8 / means (p_pad,) /
+    valid (p_pad,) may already live on device; row_perm=None is the identity
+    fast path (observations in store order)."""
     b = block_size
-    nblocks = -(-p // b)
-    p_pad = nblocks * b
-    packed_np = store.packed
-    if p_pad != p:
-        pad = np.zeros((p_pad - p, store.bytes_per_marker), dtype=np.uint8)
-        packed_np = np.concatenate([packed_np, pad], axis=0)
-    means_np = np.zeros(p_pad, dtype=np.float32)
-    means_np[:p] = store.means
-    valid_np = np.zeros(p_pad, dtype=np.float32)
-    valid_np[:p] = 1.0
-
-    packed = jnp.asarray(packed_np)
-    means = jnp.asarray(means_np)
-    row_perm = jnp.asarray(perm)
-    n_obs = len(obs_ids)
-
+    p_pad = packed.shape[0]
+    assert p_pad % b == 0
+    nblocks = p_pad // b
+    packed = jnp.asarray(packed)
+    means = jnp.asarray(means)
+    valid = jnp.asarray(valid)
     rinv_d = None if rinv is None else jnp.asarray(rinv, dtype)
+    row_perm_d = None if row_perm is None else jnp.asarray(row_perm)
 
     @partial(jax.jit, static_argnames=("nblk",))
     def gram_group(k0, nblk):
         rows = jax.lax.dynamic_slice(packed, (k0 * b, 0), (nblk * b, packed.shape[1]))
         mns = jax.lax.dynamic_slice(means, (k0 * b,), (nblk * b,))
-        X = decode_tile(rows, mns, row_perm, dtype)          # (n, nblk*b)
+        X = decode_tile(rows, mns, row_perm_d, dtype, n_obs=n_obs)  # (n, nblk*b)
         Xb = X.reshape(n_obs, nblk, b)
         Xw = Xb if rinv_d is None else Xb * rinv_d[:, None, None]
         g = jnp.einsum("nkb,nkc->bck", Xw, Xb)               # (b, b, nblk)
@@ -224,9 +217,47 @@ def build_packed_markers(store, obs_ids, block_size: int, rinv=None,
         xpx_parts.append(xpx)
     grams = jnp.concatenate(grams_parts, axis=2)
     xpx = jnp.concatenate(xpx_parts)
-    xpx = jnp.where(jnp.asarray(valid_np) > 0, jnp.maximum(xpx, 1e-10), 1.0)
+    xpx = jnp.where(valid > 0, jnp.maximum(xpx, 1e-10), 1.0)
 
     return PackedMarkers(
-        packed=packed, means=means, row_perm=row_perm,
-        xpx=xpx, grams=grams, valid=jnp.asarray(valid_np),
+        packed=packed, means=means, row_perm=row_perm_d,
+        xpx=xpx, grams=grams, valid=valid,
+    )
+
+
+def build_packed_markers(store, obs_ids, block_size: int, rinv=None,
+                         dtype=jnp.float32, gram_chunk: int = 8) -> PackedMarkers:
+    """Stage a host Packed2BitStore on device and precompute the fast-blocks
+    Gram tiles from decoded tiles (GibbsMats analogue, tools4genotypes.jl:237-275).
+
+    obs_ids selects/permutes store rows to the phenotype order (row gather on
+    device after decode — packed bits are never repacked). An identity
+    permutation is detected and elided.
+    """
+    import numpy as np
+
+    index = {s: i for i, s in enumerate(store.obs_ids)}
+    try:
+        perm = np.asarray([index[s] for s in obs_ids], dtype=np.int32)
+    except KeyError as e:
+        raise ValueError(f"individual {e} has no genotypes") from None
+    if len(perm) == store.n_obs and (perm == np.arange(store.n_obs)).all():
+        perm = None
+
+    p = store.n_markers
+    b = block_size
+    nblocks = -(-p // b)
+    p_pad = nblocks * b
+    packed_np = store.packed
+    if p_pad != p:
+        pad = np.zeros((p_pad - p, store.bytes_per_marker), dtype=np.uint8)
+        packed_np = np.concatenate([packed_np, pad], axis=0)
+    means_np = np.zeros(p_pad, dtype=np.float32)
+    means_np[:p] = store.means
+    valid_np = np.zeros(p_pad, dtype=np.float32)
+    valid_np[:p] = 1.0
+
+    return packed_markers_from_arrays(
+        packed_np, means_np, valid_np, perm, len(obs_ids), b,
+        rinv=rinv, dtype=dtype, gram_chunk=gram_chunk,
     )

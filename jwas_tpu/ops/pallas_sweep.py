@@ -193,6 +193,61 @@ def abc_inner_rounds_pallas(grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
     return alpha_o, beta_o, delta_o, rhs_o
 
 
+def sweep_blocks_abc_pallas_packed(pm, alpha, beta, delta, ycorr, rinv, vare,
+                                   var_eff, pi, key, nreps: int = 1,
+                                   sync_every=None, interpret: bool = False,
+                                   chunk: int = 0):
+    """Pallas inner rounds + 2-bit packed residual syncs: the north-star
+    single-chip configuration. The inner block chains run in the Pallas
+    kernel (speed-of-light on Gram-row traffic) and the two O(n*p) GEMVs
+    bounding each sync round stream decoded tiles from the packed store at
+    1/16 the dense-f32 bytes (streaming_genotypes.jl:978-1027 analogue).
+    Identical math + draws to sweep_blocks_abc / sweep_blocks_abc_packed."""
+    from jwas_tpu.ops import markers as mk
+    from jwas_tpu.ops.packed import packed_matvec, packed_rhs
+
+    b, _, nblocks = pm.grams.shape
+    dtype = ycorr.dtype
+    var_eff_b = mk._to_jmajor(
+        jnp.broadcast_to(jnp.asarray(var_eff, dtype), (nblocks * b,)), nblocks, b
+    )
+    pi_c = jnp.clip(pi.astype(dtype), 1e-10, 1.0)
+    log_pi = mk._to_jmajor(jnp.log(pi_c), nblocks, b)
+    log_pi_comp = mk._to_jmajor(jnp.log1p(-pi_c + 1e-12), nblocks, b)
+    xpx_b = mk._to_jmajor(pm.xpx, nblocks, b)
+
+    def round_fn(stt, kr, reps):
+        alpha_b, beta_b, delta_b, ycorr = stt
+        w = ycorr if rinv is None else rinv * ycorr
+        rhs0 = mk._to_jmajor(packed_rhs(pm, w, chunk=chunk), nblocks, b)
+        ku, kz = jax.random.split(kr)
+        us = jax.random.uniform(ku, (reps * b, nblocks), dtype=dtype)
+        zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
+        alpha_start = alpha_b
+        alpha_b, beta_b, delta_b, _ = abc_inner_rounds_pallas(
+            pm.grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
+            alpha_b, beta_b, delta_b, rhs0, us, zs, 1.0 / vare,
+            nreps=reps, interpret=interpret,
+        )
+        ycorr = ycorr + packed_matvec(
+            pm, mk._from_jmajor(alpha_start - alpha_b), chunk=chunk,
+            n_obs=ycorr.shape[0],
+        )
+        return (alpha_b, beta_b, delta_b, ycorr)
+
+    alpha_b, beta_b, delta_b, ycorr = mk._sync_rounds(
+        nreps, sync_every, key, round_fn,
+        (mk._to_jmajor(alpha, nblocks, b), mk._to_jmajor(beta, nblocks, b),
+         mk._to_jmajor(delta, nblocks, b), ycorr),
+    )
+    return (
+        mk._from_jmajor(alpha_b),
+        mk._from_jmajor(beta_b),
+        mk._from_jmajor(delta_b),
+        ycorr,
+    )
+
+
 def sweep_blocks_abc_pallas(md, alpha, beta, delta, ycorr, rinv, vare,
                             var_eff, pi, key, nreps: int = 1,
                             sync_every=None, interpret: bool = False):

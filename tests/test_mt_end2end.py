@@ -103,3 +103,69 @@ def test_mt_update_priors_frequency():
     )
     R = out["residual variance"]
     assert np.all(np.isfinite(R["Estimate"].to_numpy(dtype=float)))
+
+
+def test_mt_bayesb_per_locus_variances():
+    """MT BayesB with per-locus (t, t) covariances
+    (MTBayesABC.jl:37-52 locus_effect_variances + variance_components.jl:180-187):
+    the chain must recover BVs and the per-locus variances must concentrate on
+    the QTL."""
+    out, sim = _run("BayesB", chain_length=800)
+    a1, a2 = _acc(out, sim, 0), _acc(out, sim, 1)
+    assert a1 > 0.5 and a2 > 0.4, (a1, a2)
+    mv = out["marker effects variances geno"].set_index("Covariance")["Estimate"]
+    assert mv["y1_y1"] > 0 and mv["y2_y2"] > 0
+
+
+def test_mt_bayesb_samplerII_and_blocks():
+    out, sim = _run("BayesB", mt_sampler="II", chain_length=500)
+    assert _acc(out, sim, 0) > 0.5
+    out, sim = _run("BayesB", chain_length=1200, fast_blocks=16, nreps=4)
+    assert _acc(out, sim, 0) > 0.5
+
+
+def test_mt_bayesb_mega_constraint():
+    out, sim = _run("BayesB", constraint=True, chain_length=600)
+    assert _acc(out, sim, 0) > 0.5
+
+
+def test_mt_per_locus_ginv_matches_shared():
+    """With every locus sharing the same G, the per-locus ginv code path must
+    reproduce the shared-ginv path bitwise (same key => same draws)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jwas_tpu.ops import markers as mk
+    from jwas_tpu.ops import multitrait as mt
+
+    rng = np.random.default_rng(4)
+    n, p, t, b = 40, 24, 2, 8
+    X = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    md = mk.build_marker_blocks(X, block_size=b)
+    p_pad = md.X.shape[1]
+    ycorr = jnp.asarray(rng.normal(size=(t, n)), jnp.float32)
+    alpha = jnp.zeros((t, p_pad), jnp.float32)
+    beta = alpha
+    delta = jnp.ones((t, p_pad), jnp.float32)
+    R = jnp.asarray([[1.0, 0.2], [0.2, 1.2]], jnp.float32)
+    G = jnp.asarray([[0.05, 0.01], [0.01, 0.04]], jnp.float32)
+    ginv = jnp.linalg.inv(G)
+    ginv_p = jnp.broadcast_to(ginv[None], (p_pad, t, t))
+    pi = jnp.asarray([0.5, 0.1, 0.1, 0.3], jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    for sweep in (mt.mt_abc_blocks_I, mt.mt_abc_blocks_II):
+        a1, b1, d1, y1 = sweep(md, alpha, beta, delta, ycorr, None, R, ginv,
+                               pi, key, nreps=2)
+        a2, b2, d2, y2 = sweep(md, alpha, beta, delta, ycorr, None, R, ginv_p,
+                               pi, key, nreps=2)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=0)
+    for sweep in (mt.mt_abc_exact_I, mt.mt_abc_exact_II):
+        a1, b1, d1, y1 = sweep(X, md.xpx[:p], alpha[:, :p], beta[:, :p],
+                               delta[:, :p], ycorr, None, R, ginv, pi, key)
+        a2, b2, d2, y2 = sweep(X, md.xpx[:p], alpha[:, :p], beta[:, :p],
+                               delta[:, :p], ycorr, None, R,
+                               jnp.broadcast_to(ginv[None], (p, t, t)), pi, key)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=0)

@@ -43,3 +43,54 @@ def test_pallas_matches_xla_scan(nreps):
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_packed_matches_packed_xla():
+    """Pallas inner rounds + packed residual syncs == packed XLA sweep
+    (the north-star single-chip path; same draws, same sync rounds)."""
+    from jwas_tpu.ops.packed import (
+        packed_markers_from_arrays,
+        sweep_blocks_abc_packed,
+    )
+    from jwas_tpu.ops.pallas_sweep import sweep_blocks_abc_pallas_packed
+
+    rng = np.random.default_rng(3)
+    n, b, nblocks = 52, 8, 128
+    p = b * nblocks
+    codes = rng.integers(0, 3, size=(p, n)).astype(np.uint8)
+    # pack marker-major rows: 4 codes per byte, low bits first
+    n_pad = -(-n // 4) * 4
+    codes_pad = np.zeros((p, n_pad), np.uint8)
+    codes_pad[:, :n] = codes
+    packed = (
+        codes_pad[:, 0::4]
+        | (codes_pad[:, 1::4] << 2)
+        | (codes_pad[:, 2::4] << 4)
+        | (codes_pad[:, 3::4] << 6)
+    )
+    means = codes.mean(axis=1).astype(np.float32)
+    valid = np.ones(p, np.float32)
+    pm = packed_markers_from_arrays(packed, means, valid, None, n, b)
+
+    X = (codes.astype(np.float32) - means[:, None]).T
+    y = jnp.asarray(X @ (rng.normal(size=p) * 0.05) + rng.normal(size=n),
+                    jnp.float32)
+    alpha = jnp.zeros((p,), jnp.float32)
+    beta = alpha
+    delta = jnp.ones((p,), jnp.int32)
+    pi = jnp.full((p,), 0.9, jnp.float32)
+    key = jax.random.PRNGKey(11)
+    vare = jnp.asarray(1.1, jnp.float32)
+    varg = jnp.asarray(0.05, jnp.float32)
+
+    a1, b1, d1, y1 = sweep_blocks_abc_packed(
+        pm, alpha, beta, delta, y, None, vare, varg, pi, key,
+        nreps=4, sync_every=2,
+    )
+    a2, b2, d2, y2 = sweep_blocks_abc_pallas_packed(
+        pm, alpha, beta, delta, y, None, vare, varg, pi, key,
+        nreps=4, sync_every=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-5)
