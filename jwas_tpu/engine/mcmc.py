@@ -946,7 +946,6 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
     accum = _init_accum(cfg, data, state)
 
     samples = {"vare": [], "varg": [], "pi": [], "genvar": [], "h2": []}
-    alpha_samples = [] if opts.output_marker_samples else None
     upf = int(opts.update_priors_frequency or 0)
     prior_epoch = 0
     w0 = 0
@@ -969,11 +968,14 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
             )
             data = data._replace(vc_scale=vc_scale, scale_r=scale_r)
             samples = {k: smp.get(k, []) for k in samples}
-            if alpha_samples is not None:
-                alpha_samples = smp.get("alpha_st", [])
             prior_epoch = int(meta["prior_epoch"])
             w0 = int(meta["w_next"])
             resumed = True
+
+    # per-parameter MCMC sample files (output.jl:320-526)
+    from jwas_tpu.engine.samples_io import STSampleStream
+
+    stream = STSampleStream(ws, cfg, opts, append=resumed)
 
     if burnin_outer > 0 and not resumed:
         state, accum, _ = run_window(state, data, accum, burnin_outer, accumulate=False)
@@ -990,32 +992,23 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
         samples["pi"].append(np.asarray(out.pi_summary))
         samples["genvar"].append(np.asarray(out.genvar))
         samples["h2"].append(np.asarray(out.h2))
-        if alpha_samples is not None:
-            alpha_samples.append(np.asarray(state.alpha[: cfg.n_markers]))
+        stream.write_sample(state, out)
         if ck_every_w and (w + 1) % ck_every_w == 0:
-            smp = dict(samples)
-            if alpha_samples is not None:
-                smp["alpha_st"] = alpha_samples
             ckpt.save_checkpoint(
                 ck_folder,
                 (burnin_outer + (w + 1) * thin_outer) * nreps,
                 (state, accum, data.vc_scale, data.scale_r),
-                smp,
+                samples,
                 {"w_next": w + 1, "prior_epoch": prior_epoch},
                 keep=opts.checkpoint_keep,
             )
+    stream.close()
 
     from jwas_tpu.engine.output import build_results
 
     results = build_results(ws, cfg, accum, samples, opts)
-    if alpha_samples is not None and ws.geno is not None:
-        os.makedirs(opts.output_folder, exist_ok=True)
-        trait = model.lhs_vec[0]
-        path = os.path.join(
-            opts.output_folder,
-            f"MCMC_samples_marker_effects_{ws.geno.name}_{trait}.txt",
+    if stream.enabled and ws.geno is not None and stream.write_markers:
+        results["_marker_sample_file"] = stream.writer.path(
+            f"marker_effects_{ws.geno.name}_{model.lhs_vec[0]}"
         )
-        header = ",".join(ws.geno.marker_ids)
-        np.savetxt(path, np.stack(alpha_samples), delimiter=",", header=header, comments="")
-        results["_marker_sample_file"] = path
     return results

@@ -911,6 +911,11 @@ def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
             w0 = int(meta["w_next"])
             resumed = True
 
+    # per-parameter MCMC sample files (output.jl:320-526)
+    from jwas_tpu.engine.samples_io import MTSampleStream
+
+    stream = MTSampleStream(ws, cfg, opts, append=resumed)
+
     if burnin_outer > 0 and not resumed:
         state, accum, _ = run_window(state, data, accum, burnin_outer, accumulate=False)
 
@@ -927,6 +932,7 @@ def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
         if cfg.sem_edges:
             samples["lam"].append(np.asarray(out.lam))
             samples["alpha"].append(np.asarray(state.alpha)[:, : cfg.n_markers])
+        stream.write_sample(state, out)
         if ck_every_w and (w + 1) % ck_every_w == 0:
             ckpt.save_checkpoint(
                 ck_folder,
@@ -937,6 +943,13 @@ def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
                 keep=opts.checkpoint_keep,
             )
 
+    stream.close()
     from jwas_tpu.engine.output_mt import build_mt_results
 
-    return build_mt_results(ws, cfg, accum, samples, opts)
+    results = build_mt_results(ws, cfg, accum, samples, opts)
+    if stream.enabled and ws.geno is not None and stream.write_markers:
+        results["_marker_sample_files"] = {
+            trait: stream.writer.path(f"marker_effects_{ws.geno.name}_{trait}")
+            for trait in model.lhs_vec
+        }
+    return results

@@ -1,0 +1,300 @@
+"""Per-parameter MCMC sample files in the reference text format.
+
+Equivalent of the reference sample-file subsystem (reference:
+src/1.JWAS/src/output.jl:320-437 `output_MCMC_samples_setup` and :443-526
+`output_MCMC_samples`): one comma-separated text file per tracked parameter
+named `MCMC_samples_<var>.txt` under the output folder (":" replaced by "."),
+with a header row where the reference writes one (level names, marker IDs,
+trait-pair labels, output IDs) and one row per saved sample.
+
+Files written (when applicable):
+  residual_variance, polygenic_effects_variance,
+  marker_effects_<geno>_<trait>, marker_effects_variances_<geno>, pi_<geno>,
+  <trait>.<term>   (location parameters requested via outputMCMCsamples),
+  <terms-joined>_variances (per random-effect group),
+  EBV_<trait>, genetic_variance, heritability,
+  liabilities_<trait>, threshold_<trait> (latent traits).
+
+GWAS's genetic-correlation mode consumes pairs of the marker-effect files
+(analysis/gwas.py), matching the reference workflow GWAS(...) <- runMCMC files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+# marker-effect sample files grow as p * n_saved; above this marker count the
+# file is skipped unless the user explicitly asks (output_marker_samples=True)
+MARKER_FILE_MAX_P = 200_000
+
+
+class MCMCSampleWriter:
+    """Append-oriented writer for the per-parameter sample files."""
+
+    def __init__(self, folder: str, prefix: str = "MCMC_samples",
+                 append: bool = False):
+        self.folder = folder
+        self.prefix = prefix
+        self.append = append        # resume: keep existing rows, skip headers
+        self._files: Dict[str, object] = {}
+        os.makedirs(folder, exist_ok=True)
+
+    def path(self, var: str) -> str:
+        safe = var.replace(":", ".")
+        return os.path.join(self.folder, f"{self.prefix}_{safe}.txt")
+
+    def register(self, var: str, header: Optional[Sequence[str]] = None):
+        if var in self._files:
+            return
+        path = self.path(var)
+        if self.append and os.path.isfile(path):
+            f = open(path, "a")
+        else:
+            f = open(path, "w")
+            if header is not None:
+                f.write(",".join(str(h) for h in header) + "\n")
+        self._files[var] = f
+
+    def write(self, var: str, values):
+        arr = np.asarray(values).reshape(-1)
+        self._files[var].write(
+            ",".join(repr(float(v)) for v in arr) + "\n"
+        )
+
+    def close(self):
+        for f in self._files.values():
+            f.close()
+        self._files = {}
+
+
+def _trait_pair_header(traits: List[str]) -> List[str]:
+    return [f"{a}_{b}" for a in traits for b in traits]
+
+
+class STSampleStream:
+    """Single-trait driver hook: setup + per-saved-sample writes."""
+
+    def __init__(self, ws, cfg, opts, append: bool = False):
+        model = ws.model
+        self.enabled = bool(opts.output_folder)
+        if not self.enabled:
+            self.writer = None
+            return
+        self.ws = ws
+        self.cfg = cfg
+        self.opts = opts
+        trait = model.lhs_vec[0]
+        w = MCMCSampleWriter(opts.output_folder, append=append)
+        w.register("residual_variance", _trait_pair_header([trait]))
+
+        self.loc_slices = []
+        for trm_str in model.output_samples_terms:
+            trm = model.term_dict.get(trm_str)
+            if trm is None:
+                continue
+            w.register(trm_str, [f"{trm_str}:{s}" for s in trm.names])
+            self.loc_slices.append((trm_str, trm.start_pos, trm.n_levels))
+
+        self.re_vars = []
+        for grp in ws.re_groups:
+            var = "_".join(grp.term_array) + "_variances"
+            w.register(var, _trait_pair_header(grp.term_array))
+            self.re_vars.append(var)
+        self.has_ped = any(g.random_type == "A" for g in ws.re_groups)
+        if self.has_ped:
+            ped_terms = [t for g in ws.re_groups if g.random_type == "A"
+                         for t in g.term_array]
+            w.register("polygenic_effects_variance", _trait_pair_header(ped_terms))
+
+        self.write_markers = False
+        g = ws.geno
+        if g is not None and cfg.method != "none":
+            p = cfg.n_markers
+            self.write_markers = (
+                bool(opts.output_marker_samples) or p <= MARKER_FILE_MAX_P
+            )
+            if self.write_markers:
+                mids = (g.marker_ids if g.method != "GBLUP"
+                        else [str(i + 1) for i in range(p)])
+                w.register(f"marker_effects_{g.name}_{trait}", mids)
+            w.register(f"marker_effects_variances_{g.name}")
+            w.register(f"pi_{g.name}")
+
+        self.ebv = bool(opts.outputEBV) and bool(ws.output_ids)
+        if self.ebv:
+            w.register(f"EBV_{trait}", list(ws.output_ids))
+            if opts.output_heritability and not opts.single_step_analysis:
+                w.register("genetic_variance", _trait_pair_header([trait]))
+                w.register("heritability", [trait])
+
+        self.latent = cfg.trait_types and cfg.trait_types[0] in (
+            "categorical", "categorical(binary)", "censored"
+        )
+        if self.latent:
+            w.register(f"liabilities_{trait}")
+            if cfg.trait_types[0] in ("categorical", "categorical(binary)"):
+                w.register(f"threshold_{trait}")
+        self.trait = trait
+        self.writer = w
+
+    def write_sample(self, state, out):
+        if not self.enabled:
+            return
+        w = self.writer
+        g = self.ws.geno
+        cfg = self.cfg
+        sol = np.asarray(state.sol)
+        w.write("residual_variance", state.vare)
+        for trm_str, start, nlev in self.loc_slices:
+            w.write(trm_str, sol[start : start + nlev])
+        ped_vcs = []
+        for grp, var, vc in zip(self.ws.re_groups, self.re_vars, state.vc):
+            w.write(var, vc)
+            if grp.random_type == "A":
+                ped_vcs.append(np.asarray(vc).reshape(-1))
+        if self.has_ped:
+            w.write("polygenic_effects_variance", np.concatenate(ped_vcs))
+        if g is not None and cfg.method != "none":
+            p = cfg.n_markers
+            if self.write_markers:
+                w.write(f"marker_effects_{g.name}_{self.trait}",
+                        np.asarray(state.alpha)[:p])
+            varg = np.asarray(state.varg)
+            w.write(f"marker_effects_variances_{g.name}",
+                    varg[:p].mean() if varg.ndim else varg)
+            pi = np.asarray(state.pi)
+            if pi.ndim == 2:                 # annotated BayesR per-marker priors
+                pi = pi[:p].mean(axis=0)
+            elif cfg.anno_steps == 1:        # annotated BayesC per-marker pi
+                pi = np.asarray([pi[:p].mean()])
+            elif cfg.method in ("BayesC", "BayesB") and pi.ndim == 1:
+                pi = pi[:1] if pi.shape[0] else pi
+            w.write(f"pi_{g.name}", pi)
+        if self.ebv:
+            w.write(f"EBV_{self.trait}", out.ebv)
+            if self.opts.output_heritability and not self.opts.single_step_analysis:
+                w.write("genetic_variance", out.genvar)
+                w.write("heritability", out.h2)
+        if self.latent:
+            w.write(f"liabilities_{self.trait}", state.liab)
+            if cfg.trait_types[0] in ("categorical", "categorical(binary)"):
+                w.write(f"threshold_{self.trait}", state.thresholds)
+
+    def close(self):
+        if self.enabled and self.writer is not None:
+            self.writer.close()
+
+
+class MTSampleStream:
+    """Multi-trait driver hook (same file schema, trait-expanded)."""
+
+    def __init__(self, ws, cfg, opts, append: bool = False):
+        model = ws.model
+        self.enabled = bool(opts.output_folder)
+        if not self.enabled:
+            self.writer = None
+            return
+        self.ws = ws
+        self.cfg = cfg
+        self.opts = opts
+        traits = list(model.lhs_vec)
+        self.traits = traits
+        w = MCMCSampleWriter(opts.output_folder, append=append)
+        w.register("residual_variance", _trait_pair_header(traits))
+
+        self.loc_slices = []
+        for trm_str in model.output_samples_terms:
+            trm = model.term_dict.get(trm_str)
+            if trm is None:
+                continue
+            w.register(trm_str, [f"{trm_str}:{s}" for s in trm.names])
+            self.loc_slices.append((trm_str, trm.start_pos, trm.n_levels))
+
+        self.re_vars = []
+        for grp in ws.re_groups:
+            var = "_".join(grp.term_array) + "_variances"
+            w.register(var, _trait_pair_header(grp.term_array))
+            self.re_vars.append(var)
+        self.has_ped = any(g.random_type == "A" for g in ws.re_groups)
+        if self.has_ped:
+            ped_terms = [t for g in ws.re_groups if g.random_type == "A"
+                         for t in g.term_array]
+            w.register("polygenic_effects_variance", _trait_pair_header(ped_terms))
+
+        self.write_markers = False
+        g = ws.geno
+        if g is not None and cfg.method != "none":
+            p = cfg.n_markers
+            self.write_markers = (
+                bool(opts.output_marker_samples) or p <= MARKER_FILE_MAX_P
+            )
+            if self.write_markers:
+                mids = (g.marker_ids if g.method != "GBLUP"
+                        else [str(i + 1) for i in range(p)])
+                for trait in traits:
+                    w.register(f"marker_effects_{g.name}_{trait}", mids)
+            w.register(f"marker_effects_variances_{g.name}")
+            w.register(f"pi_{g.name}")
+
+        self.ebv = bool(opts.outputEBV) and bool(ws.output_ids)
+        if self.ebv:
+            for trait in traits:
+                w.register(f"EBV_{trait}", list(ws.output_ids))
+            if opts.output_heritability and not opts.single_step_analysis:
+                w.register("genetic_variance", _trait_pair_header(traits))
+                w.register("heritability", traits)
+
+        self.latent = tuple(getattr(cfg, "latent_traits", ()))
+        for ti in self.latent:
+            w.register(f"liabilities_{traits[ti]}")
+            if cfg.trait_types[ti] in ("categorical", "categorical(binary)"):
+                w.register(f"threshold_{traits[ti]}")
+        self.writer = w
+
+    def write_sample(self, state, out):
+        if not self.enabled:
+            return
+        w = self.writer
+        g = self.ws.geno
+        cfg = self.cfg
+        sol = np.asarray(state.sol)
+        w.write("residual_variance", state.R)
+        for trm_str, start, nlev in self.loc_slices:
+            w.write(trm_str, sol[start : start + nlev])
+        ped_vcs = []
+        for grp, var, vc in zip(self.ws.re_groups, self.re_vars, state.vc):
+            w.write(var, vc)
+            if grp.random_type == "A":
+                ped_vcs.append(np.asarray(vc).reshape(-1))
+        if self.has_ped:
+            w.write("polygenic_effects_variance", np.concatenate(ped_vcs))
+        if g is not None and cfg.method != "none":
+            p = cfg.n_markers
+            alpha = np.asarray(state.alpha)
+            if self.write_markers:
+                for ti, trait in enumerate(self.traits):
+                    w.write(f"marker_effects_{g.name}_{trait}", alpha[ti, :p])
+            varg = np.asarray(state.varg)
+            if varg.ndim == 3:               # per-locus BayesB covariances
+                varg = varg[:p].mean(axis=0)
+            w.write(f"marker_effects_variances_{g.name}", varg)
+            w.write(f"pi_{g.name}", state.pi)
+        if self.ebv:
+            ebv = np.asarray(out.ebv)
+            for ti, trait in enumerate(self.traits):
+                w.write(f"EBV_{trait}", ebv[ti])
+            if self.opts.output_heritability and not self.opts.single_step_analysis:
+                w.write("genetic_variance", out.genvar)
+                w.write("heritability", out.h2)
+        for ti in self.latent:
+            trait = self.traits[ti]
+            w.write(f"liabilities_{trait}", np.asarray(state.liab)[ti])
+            if cfg.trait_types[ti] in ("categorical", "categorical(binary)"):
+                w.write(f"threshold_{trait}", np.asarray(state.thresholds)[ti])
+
+    def close(self):
+        if self.enabled and self.writer is not None:
+            self.writer.close()
