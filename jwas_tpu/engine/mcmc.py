@@ -916,6 +916,13 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if opts.double_precision else jnp.float32
 
+    # admission control before any driver dispatch (errors_args,
+    # input_data_validation.jl:9-141); prepare_workspace re-validates after
+    # the method shims for drivers that bypass this entry point
+    from jwas_tpu.engine.validation import validate_args
+
+    validate_args(model, opts)
+
     if opts.RRM is not None:
         from jwas_tpu.engine.mcmc_rrm import run_mcmc_rrm
 

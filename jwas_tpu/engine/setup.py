@@ -274,6 +274,12 @@ def _add_censored_trait_columns(model: Model, df: pd.DataFrame) -> None:
         if tt != "censored":
             continue
         name = model.lhs_vec[ti]
+        for suffix in ("_l", "_u"):
+            if f"{name}{suffix}" not in df.columns:
+                raise ValueError(
+                    f"censored trait {name} requires columns {name}_l and "
+                    f"{name}_u in the phenotype data frame"
+                )
         lo = pd.to_numeric(df[f"{name}_l"], errors="coerce").to_numpy(dtype=np.float64)
         hi = pd.to_numeric(df[f"{name}_u"], errors="coerce").to_numpy(dtype=np.float64)
         both_missing = np.isnan(lo) & np.isnan(hi)
@@ -323,6 +329,16 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
     for g in model.M:
         normalize_method(g, model)
 
+    # --- admission control: the full method x feature compat matrix
+    # (errors_args, input_data_validation.jl:9-141) ---
+    from jwas_tpu.engine.validation import validate_args
+
+    validate_args(model, opts)
+    if opts.heterogeneous_residuals and "weights" not in df.columns:
+        raise ValueError(
+            "heterogeneous_residuals=True requires a 'weights' column in the "
+            "phenotype data frame"
+        )
     # --- ID reconciliation (input_data_validation.jl:198-294) ---
     if model.M and not opts.single_step_analysis:
         geno_ids = set(model.M[0].obs_ids)
