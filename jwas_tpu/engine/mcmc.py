@@ -852,12 +852,16 @@ def _run_multichain(ws, cfg, data, state, opts):
     accums = jax.tree.map(stack, accum0)
 
     mesh = opts.mesh
-    if mesh is not None and "chains" in getattr(mesh, "axis_names", ()):
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    if mesh is not None:
+        axes = tuple(getattr(mesh, "axis_names", ()))
+        chain_ax = next((a for a in ("chain", "chains") if a in axes), None)
+        marker_ax = "marker" if "marker" in axes else None
+        if chain_ax is not None:
+            from jwas_tpu.parallel.mesh import shard_st_multichain
 
-        shard = NamedSharding(mesh, P("chains"))
-        states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
-        accums = jax.tree.map(lambda x: jax.device_put(x, shard), accums)
+            data, states, accums = shard_st_multichain(
+                mesh, cfg, data, states, accums, chain_ax, marker_ax
+            )
 
     rw = make_run_window(cfg)
     mc = jax.vmap(rw, in_axes=(0, None, 0, None, None))

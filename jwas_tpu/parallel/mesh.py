@@ -38,7 +38,8 @@ def make_mesh(n_chains: int = 1, n_marker_shards: Optional[int] = None,
 
 
 def st_data_shardings(mesh: Mesh):
-    """PartitionSpecs for STData: markers column-sharded, the rest replicated."""
+    """PartitionSpecs for STData: markers column-sharded (incl. the 2-bit
+    packed store, marker-major rows), the rest replicated."""
     from jwas_tpu.engine.mcmc import STData
 
     rep = P()
@@ -55,7 +56,81 @@ def st_data_shardings(mesh: Mesh):
         vc_scale=tuple(),
         out_geno=NamedSharding(mesh, P(None, "marker")),
         out_W=NamedSharding(mesh, rep),
+        packed=NamedSharding(mesh, P("marker", None)),
+        packed_means=NamedSharding(mesh, P("marker")),
+        row_perm=NamedSharding(mesh, rep),
+        anno_A=NamedSharding(mesh, P("marker", None)),
     )
+
+
+def _fits(arr, mesh: Mesh, spec: P) -> P:
+    """Drop named axes whose dimension does not divide the mesh extent so
+    device_put never fails on awkward shapes (padding differences)."""
+    dims = []
+    for d, name in enumerate(spec):
+        if name is None:
+            dims.append(None)
+            continue
+        size = int(np.prod([mesh.shape[a] for a in ((name,) if isinstance(name, str) else name)]))
+        dims.append(name if arr.shape[d] % size == 0 else None)
+    return P(*dims)
+
+
+def shard_st_multichain(mesh: Mesh, cfg, data, states, accums,
+                        chain_ax: str, marker_ax: Optional[str]):
+    """Place multi-chain state/accums (leading chain axis) + shared data onto
+    a (chain, marker) mesh. Marker-dimension leaves additionally shard along
+    the marker axis when their size divides the shard count."""
+    import jax
+
+    def put(x, *names):
+        if x is None or not hasattr(x, "shape"):
+            return x
+        spec = _fits(x, mesh, P(*names))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    # chain axis on every leading dim of state/accum leaves
+    def put_chain(x):
+        return put(x, chain_ax, *([None] * (getattr(x, "ndim", 1) - 1)))
+
+    states = jax.tree.map(put_chain, states)
+    accums = jax.tree.map(put_chain, accums)
+
+    if marker_ax is not None:
+        # marker-sharded (chain, p_pad) state leaves
+        marker_fields = ["alpha", "beta", "delta", "gamma_l"]
+        if cfg.method in ("BayesC", "BayesB"):
+            marker_fields.append("pi")
+        if cfg.method == "BayesB":
+            marker_fields.append("varg")
+        st_updates = {}
+        for f in marker_fields:
+            x = getattr(states, f)
+            if x is not None and getattr(x, "ndim", 0) >= 2:
+                tail = [None] * (x.ndim - 2)
+                st_updates[f] = put(x, chain_ax, marker_ax, *tail)
+        states = states._replace(**st_updates)
+        ac_updates = {}
+        for f in ("alpha_m", "alpha_m2", "delta_m"):
+            x = getattr(accums, f)
+            if x is not None and getattr(x, "ndim", 0) >= 2:
+                ac_updates[f] = put(x, chain_ax, marker_ax)
+        accums = accums._replace(**ac_updates)
+
+        d_updates = dict(
+            X=put(data.X, None, marker_ax),
+            xpx=put(data.xpx, marker_ax),
+            grams=put(data.grams, None, None, marker_ax),
+            valid=put(data.valid, marker_ax),
+            out_geno=put(data.out_geno, None, marker_ax),
+        )
+        if data.packed is not None:
+            d_updates["packed"] = put(data.packed, marker_ax, None)
+            d_updates["packed_means"] = put(data.packed_means, marker_ax)
+        if data.anno_A is not None:
+            d_updates["anno_A"] = put(data.anno_A, marker_ax, None)
+        data = data._replace(**d_updates)
+    return data, states, accums
 
 
 def st_state_shardings(mesh: Mesh, cfg, n_vc: int = 0):
@@ -83,6 +158,11 @@ def shard_st(mesh: Mesh, cfg, data, state):
     dsh = st_data_shardings(mesh)
     ssh = st_state_shardings(mesh, cfg, n_vc=len(state.vc))
     rep = NamedSharding(mesh, P())
+    opt = {
+        f: jax.device_put(getattr(data, f), getattr(dsh, f))
+        for f in ("packed", "packed_means", "row_perm", "anno_A")
+        if getattr(data, f) is not None
+    }
     data = data._replace(
         **{
             f: jax.device_put(getattr(data, f), getattr(dsh, f))
@@ -91,6 +171,7 @@ def shard_st(mesh: Mesh, cfg, data, state):
         },
         Vinv=tuple(jax.device_put(v, rep) for v in data.Vinv),
         vc_scale=tuple(jax.device_put(v, rep) for v in data.vc_scale),
+        **opt,
     )
     state = state._replace(
         **{
