@@ -63,6 +63,8 @@ class MTData(NamedTuple):
     scale_R: jnp.ndarray       # (t, t)
     marker_scale: jnp.ndarray  # (t, t)
     sem_YY: jnp.ndarray = None         # (t, t) raw-phenotype Gram y y' (SEM)
+    anno_A: jnp.ndarray = None         # (p_pad, k) annotation design (2-trait
+                                       # annotated BayesC, annotation_updates.jl:275-326)
     category_obs: jnp.ndarray = None   # (t, n) int32 (0 = missing)
     cens_lower: jnp.ndarray = None     # (t, n)
     cens_upper: jnp.ndarray = None     # (t, n)
@@ -287,7 +289,17 @@ def make_mt_step(cfg: MTEngineCfg):
                 )
 
         # ------- 2b. pi -------
-        if cfg.estimate_pi:
+        ann_coeffs, ann_var = state.ann_coeffs, state.ann_var
+        if cfg.anno_steps == 3 and t == 2:
+            # 2-trait annotated BayesC: 4 joint states via a 3-step tree
+            # probit (annotation_updates.jl:275-326); pi becomes per-marker
+            from jwas_tpu.ops.annotations import anno_bayesc_mt_update
+
+            ann_coeffs, ann_var, pi = anno_bayesc_mt_update(
+                k_pi, data.anno_A, delta, ann_coeffs, ann_var, data.valid
+            )
+            pi = pi.astype(dtype)
+        elif cfg.estimate_pi:
             if cfg.constraint:
                 kp = jax.random.split(k_pi, t)
                 pi = jax.vmap(
@@ -420,6 +432,7 @@ def make_mt_step(cfg: MTEngineCfg):
             key=key, sol=sol, alpha=alpha, beta=beta, delta=delta,
             gamma_l=gamma_l, ycorr=ycorr, R=R, varg=varg, pi=pi, vc=vc,
             liab=liab, thresholds=thresholds, Lambda=Lambda,
+            ann_coeffs=ann_coeffs, ann_var=ann_var,
         )
 
     return step
@@ -444,6 +457,8 @@ class MTAccum(NamedTuple):
     vc_m2: Tuple[jnp.ndarray, ...]
     lam_m: jnp.ndarray
     lam_m2: jnp.ndarray
+    ann_m: jnp.ndarray = jnp.zeros((0,))
+    ann_m2: jnp.ndarray = jnp.zeros((0,))
 
 
 class MTSampleOut(NamedTuple):
@@ -487,7 +502,12 @@ def make_mt_run_window(cfg: MTEngineCfg):
             state.varg[: cfg.n_markers].mean(axis=0)
             if state.varg.ndim == 3 else state.varg
         )
-        out = MTSampleOut(R=state.R, varg=varg_out, pi=state.pi, ebv=ebv,
+        # per-marker annotated joint priors: ship the across-marker mean
+        pi_out = (
+            state.pi[: cfg.n_markers].mean(axis=0)
+            if state.pi.ndim == 2 else state.pi
+        )
+        out = MTSampleOut(R=state.R, varg=varg_out, pi=pi_out, ebv=ebv,
                           genvar=genvar, h2=h2, lam=state.Lambda)
         if accumulate:
             n = accum.n + 1.0
@@ -510,6 +530,10 @@ def make_mt_run_window(cfg: MTEngineCfg):
                 vc_m2=tuple(_welford(m, v**2, n) for m, v in zip(accum.vc_m2, state.vc)),
                 lam_m=_welford(accum.lam_m, state.Lambda, n),
                 lam_m2=_welford(accum.lam_m2, state.Lambda**2, n),
+                ann_m=(_welford(accum.ann_m, state.ann_coeffs, n)
+                       if cfg.anno_steps > 0 else accum.ann_m),
+                ann_m2=(_welford(accum.ann_m2, state.ann_coeffs**2, n)
+                        if cfg.anno_steps > 0 else accum.ann_m2),
             )
         return state, accum, out
 
@@ -732,6 +756,35 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         )
         model.causal_structure = causal
 
+    # --- 2-trait annotated BayesC setup (annotation_setup.jl:51-133):
+    # tree-probit coefficient intercepts from the startup joint Pi dict ---
+    anno_A_np = None
+    ann_coeffs0 = ann_var0 = None
+    anno_steps = 0
+    if (g is not None and g.annotations is not None and method == "BayesC"
+            and t == 2 and not constraint):
+        from scipy.stats import norm as _norm
+
+        anno_steps = 3
+        ann_np = np.asarray(g.annotations, dtype=np.float64)
+        anno_A_np = np.zeros((p_pad, 1 + ann_np.shape[1]))
+        anno_A_np[:p, 0] = 1.0
+        anno_A_np[:p, 1:] = ann_np
+        v = pi_dict_to_vector(g.pi, t)        # canonical: 00, 10, 01, 11
+        if v[1] + v[3] <= 0 or v[2] + v[3] <= 0 or v[3] <= 0:
+            raise ValueError(
+                "Annotated multi-trait BayesC requires positive startup "
+                "prior mass in states {10,11}, {01,11} and 11"
+            )
+        eps = 1e-6
+        p1 = float(np.clip(1.0 - v[0], eps, 1 - eps))
+        p2 = float(np.clip(v[3] / p1, eps, 1 - eps))
+        p3 = float(np.clip(v[1] / max(p1 * (1.0 - p2), eps), eps, 1 - eps))
+        c0 = np.zeros((anno_A_np.shape[1], 3))
+        c0[0, :] = _norm.ppf([p1, p2, p3])
+        ann_coeffs0 = c0
+        ann_var0 = np.ones(3)
+
     cfg = MTEngineCfg(
         method=method, n_obs=n, n_markers=p, n_loc=K,
         estimate_pi=bool(g.estimate_pi) if g is not None else False,
@@ -748,6 +801,7 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         trait_types=trait_types,
         cat_counts=tuple(cat_counts),
         pattern_rows=pattern_rows, pattern_masks=pattern_masks,
+        anno_steps=anno_steps,
         r_constraint=R_constraint,
         latent_traits=latent_traits, binary_traits=binary_traits,
         sem_edges=sem_edges,
@@ -761,6 +815,7 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         scale_R=jnp.asarray(scale_R0, dtype),
         marker_scale=jnp.asarray(marker_scale0, dtype),
         sem_YY=(y @ y.T) if sem_edges else jnp.zeros((t, t), dtype),
+        anno_A=jnp.asarray(anno_A_np, dtype) if anno_A_np is not None else None,
         category_obs=jnp.asarray(category_np),
         cens_lower=jnp.asarray(cl_np, dtype),
         cens_upper=jnp.asarray(cu_np, dtype),
@@ -798,6 +853,11 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
 
     if constraint:
         pi0 = jnp.zeros((t,), dtype)
+    elif anno_steps == 3:
+        v = pi_dict_to_vector(g.pi, t)
+        pi_np = np.tile(v[None, :], (p_pad, 1))
+        pi_np[p:] = [1.0, 0.0, 0.0, 0.0]
+        pi0 = jnp.asarray(pi_np, dtype)
     elif g is not None and isinstance(g.pi, dict):
         pi0 = jnp.asarray(pi_dict_to_vector(g.pi, t), dtype)
     else:
@@ -820,6 +880,9 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         liab=liab0 if liab0 is not None else jnp.zeros((0,), dtype),
         thresholds=thresholds0 if thresholds0 is not None else jnp.zeros((0,), dtype),
         Lambda=jnp.zeros((len(sem_edges),), dtype),
+        ann_coeffs=(jnp.asarray(ann_coeffs0, dtype)
+                    if ann_coeffs0 is not None else None),
+        ann_var=jnp.asarray(ann_var0, dtype) if ann_var0 is not None else None,
     )
     return cfg, data, state
 
@@ -840,6 +903,8 @@ def _init_mt_accum(cfg, data: MTData, state: MTChainState) -> MTAccum:
         vc_m=tuple(z(v.shape, dt) for v in state.vc),
         vc_m2=tuple(z(v.shape, dt) for v in state.vc),
         lam_m=z(state.Lambda.shape, dt), lam_m2=z(state.Lambda.shape, dt),
+        ann_m=z(state.ann_coeffs.shape if state.ann_coeffs is not None else (0,), dt),
+        ann_m2=z(state.ann_coeffs.shape if state.ann_coeffs is not None else (0,), dt),
     )
 
 

@@ -71,9 +71,13 @@ def build_mt_results(ws, cfg, accum, samples, opts) -> Dict[str, pd.DataFrame]:
         results[f"marker effects variances {g.name}"] = _cov_df(
             model.lhs_vec, varg_m, varg_sd
         )
-        if cfg.estimate_pi:
+        if cfg.estimate_pi or cfg.anno_steps > 0:
             pi_m = np.asarray(accum.pi_m)
             pi_sd = _sd(accum.pi_m, accum.pi_m2)
+            if pi_m.ndim == 2:
+                # annotated: per-marker joint priors -> across-marker summary
+                pi_m = pi_m[:p].mean(axis=0)
+                pi_sd = pi_sd[:p].mean(axis=0)
             if cfg.constraint:
                 labels = list(model.lhs_vec)
             else:
@@ -83,6 +87,20 @@ def build_mt_results(ws, cfg, accum, samples, opts) -> Dict[str, pd.DataFrame]:
                 ]
             results[f"pi_{g.name}"] = pd.DataFrame(
                 {"pi": labels, "Estimate": pi_m, "SD": pi_sd}
+            )
+        if cfg.anno_steps > 0 and getattr(accum, "ann_m", None) is not None:
+            ann_m = np.asarray(accum.ann_m)
+            ann_sd = _sd(accum.ann_m, accum.ann_m2)
+            k = ann_m.shape[0]
+            anames = ["Intercept"] + [f"Annotation_{i}" for i in range(1, k)]
+            nsteps = ann_m.shape[1]
+            results[f"annotation coefficients {g.name}"] = pd.DataFrame(
+                {
+                    "Annotation": np.repeat(anames, nsteps),
+                    "Step": np.tile(np.arange(1, nsteps + 1), k),
+                    "Estimate": ann_m.reshape(-1),
+                    "SD": ann_sd.reshape(-1),
+                }
             )
 
     for grp, vc_m, vc_m2 in zip(ws.re_groups, accum.vc_m, accum.vc_m2):

@@ -54,6 +54,8 @@ class MTChainState(NamedTuple):
     liab: jnp.ndarray         # (t, n) latent liabilities (categorical/censored); (0,)
     thresholds: jnp.ndarray   # (t, max_cat+1) thresholds; (0,)
     Lambda: jnp.ndarray       # (t, t) SEM structural coefficients; (0,)
+    ann_coeffs: Optional[jnp.ndarray] = None  # (k, 3) tree-probit coefficients
+    ann_var: Optional[jnp.ndarray] = None     # (3,) probit slope variances
 
 
 @dataclass(frozen=True)

@@ -102,6 +102,56 @@ def anno_bayesc_update(key, A, delta, coeffs, slope_var, valid):
     return coeffs, slope_var, pi
 
 
+def anno_bayesc_mt_update(key, A, delta_t, coeffs, slope_var, valid):
+    """Annotated 2-trait BayesC joint-state tree probit update
+    (bayesc_mt_tree_step_indicators + rebuild_bayesc_mt_tree_priors!,
+    annotation_updates.jl:275-326).
+
+    The 4 joint inclusion states {00, 10, 01, 11} are decomposed into 3 nested
+    binary probits: step 1 z1 = 1(state != 00) over all markers; step 2
+    z2 = 1(state == 11) over markers with state != 00; step 3
+    z3 = 1(state == 10) over markers with state in {10, 01}.
+
+    delta_t: (2, p_pad) 0/1 inclusion indicators; coeffs: (k, 3);
+    slope_var: (3,). Returns (coeffs, slope_var, snp_pi) with snp_pi
+    (p_pad, 4) in CANONICAL pattern order (bit k = trait k:
+    s0=00, s1=10, s2=01, s3=11); padded rows pinned at [1, 0, 0, 0].
+    """
+    eps = 1e-7
+    d1 = (delta_t[0] > 0)
+    d2 = (delta_t[1] > 0)
+    state = d1.astype(jnp.int32) + 2 * d2.astype(jnp.int32)   # canonical index
+    dt = A.dtype
+    responses = [
+        (state != 0).astype(dt),        # z1: any trait active
+        (state == 3).astype(dt),        # z2: both traits (given any)
+        (state == 1).astype(dt),        # z3: trait-1-only (given exactly one)
+    ]
+    actives = [
+        valid,
+        valid * (state != 0).astype(dt),
+        valid * ((state == 1) | (state == 2)).astype(dt),
+    ]
+    keys = jax.random.split(key, 3)
+    mus = []
+    for s in range(3):
+        cs, vs, mu = _probit_step(
+            keys[s], A, responses[s], coeffs[:, s], slope_var[s], actives[s]
+        )
+        coeffs = coeffs.at[:, s].set(cs)
+        slope_var = slope_var.at[s].set(vs)
+        mus.append(mu)
+    p1, p2, p3 = (jnp.clip(_norm_cdf(m), eps, 1.0 - eps) for m in mus)
+    # canonical order: 00, 10, 01, 11 (rebuild_bayesc_mt_tree_priors!)
+    snp_pi = jnp.stack(
+        [1.0 - p1, p1 * (1.0 - p2) * p3, p1 * (1.0 - p2) * (1.0 - p3), p1 * p2],
+        axis=1,
+    )
+    base = jnp.zeros((4,), dt).at[0].set(1.0)
+    snp_pi = jnp.where((valid > 0)[:, None], snp_pi, base[None, :])
+    return coeffs, slope_var, snp_pi
+
+
 def anno_bayesr_update(key, A, delta, coeffs, slope_var, valid):
     """Annotated single-trait BayesR nested-probit update
     (bayesr_nested_step_indicators + rebuild_bayesr_nested_priors!, :205-273).

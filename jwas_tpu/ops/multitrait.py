@@ -35,6 +35,14 @@ import jax.numpy as jnp
 from jwas_tpu.ops.markers import MarkerBlocks
 
 
+def _take_logpi(log_pi, idx):
+    """Pattern-prior lookup: log_pi (S,) global or (B, S) per-marker
+    (GlobalPiPrior / MarkerSpecificPiPrior, MTBayesABC.jl:6-18)."""
+    if log_pi.ndim == 2:
+        return jnp.take_along_axis(log_pi, idx[:, None], axis=1)[:, 0]
+    return jnp.take(log_pi, idx)
+
+
 def pattern_index(delta_t):
     """(t, ...) 0/1 indicators -> integer pattern index, bit k = trait k."""
     t = delta_t.shape[0]
@@ -111,8 +119,8 @@ def _mt_abc_marker_update_I(w, beta, delta, alpha, xpx_j, Rinv, Ginv_j,
         if not nok:
             idx0 = jnp.zeros(xpx_j.shape, jnp.int32)
         idx1 = idx0 + pow2[k]
-        lp0 = jnp.take(log_pi, idx0)
-        lp1 = jnp.take(log_pi, idx1)
+        lp0 = _take_logpi(log_pi, idx0)
+        lp1 = _take_logpi(log_pi, idx1)
 
         log_d0 = -0.5 * (jnp.log(Ginv_kk) - g_hat0**2 * Ginv_kk) + lp0
         log_d1 = -0.5 * (jnp.log(C11) - g_hat1**2 * C11) + lp1
@@ -169,6 +177,9 @@ def mt_abc_blocks_I(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
     dtype = ycorr.dtype
     Rinv = jnp.linalg.inv(vare)
     log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0))
+    per_marker_pi = log_pi.ndim == 2
+    if per_marker_pi:   # (p_pad, S) -> j-major (b, nblocks, S)
+        log_pi = log_pi.reshape(nblocks, b, -1).transpose(1, 0, 2)
     xpx_b = md.xpx.reshape(nblocks, b).T                      # (b, nblocks)
     valid_b = md.valid.reshape(nblocks, b).T
     ginv_b = _ginv_jmajor(ginv, nblocks, b)
@@ -179,8 +190,9 @@ def mt_abc_blocks_I(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
         a_old = alpha_j[j]                                     # (t, nblocks)
         w = rhs_j[j] + xpx_b[j][None, :] * a_old
         ginv_j = ginv if ginv_b is None else jnp.moveaxis(ginv_b[j], 0, -1)
+        lp_j = log_pi[j] if per_marker_pi else log_pi
         b_new, d_new, a_new = _mt_abc_marker_update_I(
-            w, beta_j[j], delta_j[j], a_old, xpx_b[j], Rinv, ginv_j, log_pi, u, z
+            w, beta_j[j], delta_j[j], a_old, xpx_b[j], Rinv, ginv_j, lp_j, u, z
         )
         a_new = a_new * valid_b[j][None, :]
         d_new = d_new * valid_b[j][None, :]
@@ -223,6 +235,7 @@ def mt_abc_exact_I(X, xpx, alpha, beta, delta, ycorr, rinv, vare, ginv, pi, key)
     dtype = ycorr.dtype
     Rinv = jnp.linalg.inv(vare)
     log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0))
+    per_marker_pi = log_pi.ndim == 2
     per_locus = ginv.ndim == 3
     ku, kz = jax.random.split(key)
     us = jax.random.uniform(ku, (p, t, 1), dtype=dtype)
@@ -236,9 +249,10 @@ def mt_abc_exact_I(X, xpx, alpha, beta, delta, ycorr, rinv, vare, ginv, pi, key)
         a_old = alpha[:, j][:, None]
         w = (ycorr @ xw)[:, None] + xpx[j] * a_old
         ginv_j = ginv[j][:, :, None] if per_locus else ginv
+        lp_j = log_pi[j][None, :] if per_marker_pi else log_pi
         b_new, d_new, a_new = _mt_abc_marker_update_I(
             w, beta[:, j][:, None], delta[:, j][:, None], a_old,
-            xpx[j][None], Rinv, ginv_j, log_pi, u, z,
+            xpx[j][None], Rinv, ginv_j, lp_j, u, z,
         )
         ycorr = ycorr + (a_old - a_new) * x[None, :]
         return (
@@ -278,7 +292,8 @@ def _mt_abc_marker_update_II(w, xpx_j, Rinv, Ginv, log_pi, patterns, gum, z):
     rhs = jnp.einsum("sji,jB->sBi", RinvRhs, w)                 # (S, B, t)
     g_hat = jnp.einsum("sBij,sBj->sBi", inv_lhs, rhs)
     sign, logdet = jnp.linalg.slogdet(lhs)
-    log_delta = -0.5 * (logdet - jnp.einsum("sBi,sBi->sB", rhs, g_hat)) + log_pi[:, None]
+    lp = log_pi.T if log_pi.ndim == 2 else log_pi[:, None]       # (S, B)
+    log_delta = -0.5 * (logdet - jnp.einsum("sBi,sBi->sB", rhs, g_hat)) + lp
 
     which = jnp.argmax(log_delta + gum, axis=0)                  # (B,)
     chol = jnp.linalg.cholesky(0.5 * (inv_lhs + jnp.swapaxes(inv_lhs, -1, -2)))
@@ -302,6 +317,9 @@ def mt_abc_blocks_II(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
     Rinv = jnp.linalg.inv(vare)
     patterns = all_patterns(t).astype(dtype)
     log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0))
+    per_marker_pi = log_pi.ndim == 2
+    if per_marker_pi:   # (p_pad, S) -> j-major (b, nblocks, S)
+        log_pi = log_pi.reshape(nblocks, b, -1).transpose(1, 0, 2)
     xpx_b = md.xpx.reshape(nblocks, b).T
     valid_b = md.valid.reshape(nblocks, b).T
     ginv_b = _ginv_jmajor(ginv, nblocks, b)
@@ -312,8 +330,9 @@ def mt_abc_blocks_II(md: MarkerBlocks, alpha, beta, delta, ycorr, rinv, vare,
         a_old = alpha_j[j]
         w = rhs_j[j] + xpx_b[j][None, :] * a_old
         ginv_j = ginv if ginv_b is None else ginv_b[j]
+        lp_j = log_pi[j] if per_marker_pi else log_pi
         b_new, d_new, a_new = _mt_abc_marker_update_II(
-            w, xpx_b[j], Rinv, ginv_j, log_pi, patterns, g, z
+            w, xpx_b[j], Rinv, ginv_j, lp_j, patterns, g, z
         )
         a_new = a_new * valid_b[j][None, :]
         d_new = d_new * valid_b[j][None, :]
@@ -357,6 +376,7 @@ def mt_abc_exact_II(X, xpx, alpha, beta, delta, ycorr, rinv, vare, ginv, pi, key
     Rinv = jnp.linalg.inv(vare)
     patterns = all_patterns(t).astype(dtype)
     log_pi = jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0))
+    per_marker_pi = log_pi.ndim == 2
     per_locus = ginv.ndim == 3
     kg, kz = jax.random.split(key)
     gums = jax.random.gumbel(kg, (p, 2**t, 1), dtype=dtype)
@@ -370,8 +390,9 @@ def mt_abc_exact_II(X, xpx, alpha, beta, delta, ycorr, rinv, vare, ginv, pi, key
         a_old = alpha[:, j][:, None]
         w = (ycorr @ xw)[:, None] + xpx[j] * a_old
         ginv_j = ginv[j][None] if per_locus else ginv
+        lp_j = log_pi[j][None, :] if per_marker_pi else log_pi
         b_new, d_new, a_new = _mt_abc_marker_update_II(
-            w, xpx[j][None], Rinv, ginv_j, log_pi, patterns, g, z
+            w, xpx[j][None], Rinv, ginv_j, lp_j, patterns, g, z
         )
         ycorr = ycorr + (a_old - a_new) * x[None, :]
         return (

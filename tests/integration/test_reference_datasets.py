@@ -177,3 +177,39 @@ def test_demo_7animals_files(tmp_path):
     assert len(out["EBV_y1"]) > 0
     assert np.isfinite(out["EBV_y1"]["EBV"]).all()
     del ped
+
+
+def test_annotated_mt_bayesc_on_reference_data(anno_data, tmp_path):
+    """2-trait annotated BayesC on the REAL packaged annotations_mt.csv:
+    accuracy floors per trait vs the packaged MT truth (4 joint states,
+    annotation_updates.jl:275-326)."""
+    d = anno_data["dir"]
+    pheno_mt = pd.read_csv(os.path.join(d, "phenotypes_mt.csv"))
+    pheno_mt["ID"] = pheno_mt["ID"].astype(str)
+    truth_mt = pd.read_csv(os.path.join(d, "truth_mt.csv"))
+    anno_mt = pd.read_csv(os.path.join(d, "annotations_mt.csv"))
+    geno_cols = pd.read_csv(anno_data["genofile"], nrows=0).columns[1:]
+    anno_mt = anno_mt.set_index("marker_id").loc[list(geno_cols)]
+
+    pi0 = {(0.0, 0.0): 0.9, (1.0, 0.0): 0.03, (0.0, 1.0): 0.03, (1.0, 1.0): 0.04}
+    geno = get_genotypes(
+        anno_data["genofile"], np.eye(2), method="BayesC", estimatePi=True,
+        name="geno", Pi=pi0,
+        annotations=anno_mt[["active_signal", "pleiotropy_signal",
+                             "direction_signal", "random_signal"]].to_numpy(),
+    )
+    model = build_model("y1 = intercept + geno\ny2 = intercept + geno",
+                        np.eye(2), genotypes=geno)
+    out = runMCMC(model, pheno_mt, seed=314,
+                  output_folder=str(tmp_path / "anno_mt"), **CHAIN)
+
+    geno_raw = pd.read_csv(anno_data["genofile"])
+    X = geno_raw.iloc[:, 1:].to_numpy(dtype=np.float64)
+    ids = [str(s) for s in geno_raw["ID"]]
+    bv1 = pd.Series(X @ truth_mt["true_effect_y1"].to_numpy(np.float64), index=ids)
+    bv2 = pd.Series(X @ truth_mt["true_effect_y2"].to_numpy(np.float64), index=ids)
+    acc1 = _accuracy(out, "y1", bv1)
+    acc2 = _accuracy(out, "y2", bv2)
+    print(f"annotated MT BayesC accuracies: y1={acc1:.3f} y2={acc2:.3f}")
+    assert acc1 > 0.75 and acc2 > 0.7
+    assert "annotation coefficients geno" in out

@@ -76,3 +76,48 @@ def test_annotation_validation():
         get_genotypes(geno_df, method="RR-BLUP", annotations=anno, name="geno")
     with pytest.raises(ValueError, match="one row per raw marker"):
         get_genotypes(geno_df, method="BayesC", annotations=anno[:10], name="geno")
+
+
+def test_annotated_mt_bayesc_two_traits():
+    """2-trait annotated BayesC: 4 joint states driven by a 3-step tree
+    probit (annotation_updates.jl:275-326). Recovery on the packaged
+    simulated_annotations MT analogue: accuracy floors per trait and the
+    step-1 probit must load on the true active signal, not the noise one."""
+    import pandas as pd
+
+    from jwas_tpu.io.datasets import _simulated_annotations
+
+    data = _simulated_annotations()
+    anno = data["annotations_mt"]
+    pi0 = {(0.0, 0.0): 0.9, (1.0, 0.0): 0.03, (0.0, 1.0): 0.03, (1.0, 1.0): 0.04}
+    geno = get_genotypes(
+        data["genotypes"], np.eye(2), method="BayesC", estimatePi=True,
+        name="geno",
+        annotations=anno[["active_signal", "pleiotropy_signal",
+                          "direction_signal", "random_signal"]].to_numpy(),
+        Pi=pi0,
+    )
+    model = build_model("y1 = intercept + geno\ny2 = intercept + geno",
+                        np.eye(2), genotypes=geno)
+    out = runMCMC(model, data["phenotypes_mt"], chain_length=500, burnin=100,
+                  output_samples_frequency=10, seed=3, output_folder="",
+                  printout_model_info=False)
+
+    geno_mat = data["genotypes"].iloc[:, 1:].to_numpy(dtype=np.float64)
+    ids = [str(s) for s in data["genotypes"]["ID"]]
+    for ti, col in ((0, "true_effect_y1"), (1, "true_effect_y2")):
+        bv = pd.Series(geno_mat @ data["truth_mt"][col].to_numpy(np.float64),
+                       index=ids)
+        ebv = out[f"EBV_y{ti+1}"]
+        acc = np.corrcoef(
+            ebv["EBV"].to_numpy(), bv.loc[[str(s) for s in ebv["ID"]]].to_numpy()
+        )[0, 1]
+        assert acc > 0.5, f"trait {ti+1} accuracy {acc:.3f}"
+
+    coeffs = out["annotation coefficients geno"]
+    step1 = coeffs[coeffs["Step"] == 1].set_index("Annotation")["Estimate"]
+    assert step1["Annotation_1"] > 0.1                 # active_signal
+    assert step1["Annotation_1"] > abs(step1["Annotation_4"])  # > random noise
+    # the joint-state pi table sums to ~1
+    pi_tab = out["pi_geno"]["Estimate"].to_numpy()
+    assert abs(pi_tab.sum() - 1.0) < 0.05
