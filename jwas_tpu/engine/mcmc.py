@@ -74,11 +74,11 @@ class STData(NamedTuple):
                                                 # change it without recompiling)
 
 
-def _assemble_lhs(cfg: EngineCfg, data: STData, vc, vare):
+def assemble_lhs_lambda(re_groups, WtRinvW, Vinv, vc, vare):
     """LHS = W'RinvW + sum_groups Vinv x (Gi[i,j] * vare) (addVinv,
     random_effects.jl:218-238, lambda version rebuilt from scratch)."""
-    LHS = data.WtRinvW
-    for g, grp in enumerate(cfg.re_groups):
+    LHS = WtRinvW
+    for g, grp in enumerate(re_groups):
         Gi = jnp.linalg.inv(vc[g])
         q = grp.n_levels
         for i, si in enumerate(grp.starts):
@@ -87,7 +87,7 @@ def _assemble_lhs(cfg: EngineCfg, data: STData, vc, vare):
                 if grp.has_vinv:
                     LHS = jax.lax.dynamic_update_slice(
                         LHS,
-                        jax.lax.dynamic_slice(LHS, (si, sj), (q, q)) + data.Vinv[g] * lam,
+                        jax.lax.dynamic_slice(LHS, (si, sj), (q, q)) + Vinv[g] * lam,
                         (si, sj),
                     )
                 else:
@@ -95,6 +95,10 @@ def _assemble_lhs(cfg: EngineCfg, data: STData, vc, vare):
                     jdx = sj + jnp.arange(q)
                     LHS = LHS.at[idx, jdx].add(lam)
     return LHS
+
+
+def _assemble_lhs(cfg: EngineCfg, data: STData, vc, vare):
+    return assemble_lhs_lambda(cfg.re_groups, data.WtRinvW, data.Vinv, vc, vare)
 
 
 def make_st_step(cfg: EngineCfg):

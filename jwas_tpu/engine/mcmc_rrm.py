@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from jwas_tpu.engine.state import REGroupCfg
 from jwas_tpu.models.design import build_design
 from jwas_tpu.ops.dists import sample_inv_wishart, sample_variance
 from jwas_tpu.ops.location import gibbs_pass_lambda
@@ -44,6 +45,8 @@ class RRMData(NamedTuple):
     obs_mask: jnp.ndarray    # (ntimes, nind)
     time_idx: jnp.ndarray    # (n_obs,) int32
     ind_idx: jnp.ndarray     # (n_obs,) int32
+    Vinv: Tuple[jnp.ndarray, ...] = ()       # per RE group (q, q); (0,0) = I
+    vc_scale: Tuple[jnp.ndarray, ...] = ()   # per RE group (k, k)
 
 
 @dataclass(frozen=True)
@@ -58,6 +61,8 @@ class RRMCfg:
     df_residual: float
     df_marker: float
     scale_R: float
+    re_groups: Tuple[REGroupCfg, ...] = ()   # iid/V/pedigree random effects
+                                             # (MCMC_BayesianAlphabet_RRM.jl:41,159)
 
 
 class RRMState(NamedTuple):
@@ -71,6 +76,7 @@ class RRMState(NamedTuple):
     varg: jnp.ndarray        # (c, c)
     pi: jnp.ndarray          # (2^c,)
     marker_scale: jnp.ndarray  # (c, c) prior scale
+    vc: Tuple[jnp.ndarray, ...] = ()   # per RE group (k, k) covariance G0
 
 
 def make_rrm_step(cfg: RRMCfg):
@@ -78,11 +84,17 @@ def make_rrm_step(cfg: RRMCfg):
     L = 2**c
 
     def step(state: RRMState, data: RRMData) -> RRMState:
-        key, k_loc, k_mark, k_pi, k_res, k_var = jax.random.split(state.key, 6)
+        keys = jax.random.split(state.key, 6 + len(cfg.re_groups))
+        key, k_loc, k_mark, k_pi, k_res, k_var = keys[:6]
+        k_vc = keys[6:]
         dtype = state.ycorr.dtype
 
-        # 1. location parameters (lambda-MME Gibbs; RRM driver :113-116)
-        LHS = data.WtW
+        # 1. location parameters (lambda-MME Gibbs with Vinv x Gi random-
+        # effect blocks; MCMC_BayesianAlphabet_RRM.jl:106-116 + addVinv)
+        from jwas_tpu.engine.mcmc import assemble_lhs_lambda
+
+        LHS = assemble_lhs_lambda(cfg.re_groups, data.WtW, data.Vinv,
+                                  state.vc, state.vare)
         ycorr = state.ycorr + data.W @ state.sol
         rhs = data.W.T @ ycorr
         sol = gibbs_pass_lambda(LHS, state.sol, rhs, state.vare, k_loc)
@@ -113,6 +125,21 @@ def make_rrm_step(cfg: RRMCfg):
             counts = jnp.zeros((L,), jnp.float32).at[idx].add(1.0)
             pi = jax.random.dirichlet(k_pi, counts + 1.0).astype(dtype)
 
+        # 2.1 random-effect covariance components (sampleVCs + addVinv,
+        # MCMC_BayesianAlphabet_RRM.jl:159-161)
+        vc = list(state.vc)
+        for g_, grp in enumerate(cfg.re_groups):
+            q = grp.n_levels
+            sols = jnp.stack(
+                [jax.lax.dynamic_slice(sol, (s_,), (q,)) for s_ in grp.starts]
+            )
+            S = sols @ (data.Vinv[g_] @ sols.T) if grp.has_vinv else sols @ sols.T
+            S = 0.5 * (S + S.T)
+            vc[g_] = sample_inv_wishart(
+                k_vc[g_], grp.df + q, data.vc_scale[g_] + S
+            ).astype(dtype)
+        vc = tuple(vc)
+
         # 3. residual variance (:165-166)
         vare = state.vare
         if cfg.estimate_residual_variance:
@@ -132,6 +159,7 @@ def make_rrm_step(cfg: RRMCfg):
         return RRMState(
             key=key, sol=sol, alpha=alpha, beta=beta, delta=delta, ycorr=ycorr,
             vare=vare, varg=varg, pi=pi, marker_scale=state.marker_scale,
+            vc=vc,
         )
 
     return step
@@ -152,6 +180,8 @@ class RRMAccum(NamedTuple):
     pi_m2: jnp.ndarray
     u_m: jnp.ndarray          # (ntimes, nind) BV trajectory
     u_m2: jnp.ndarray
+    vc_m: Tuple[jnp.ndarray, ...] = ()
+    vc_m2: Tuple[jnp.ndarray, ...] = ()
 
 
 def _welford(m, x, n):
@@ -186,6 +216,10 @@ def make_rrm_run_window(cfg: RRMCfg):
                 pi_m2=_welford(accum.pi_m2, state.pi**2, n),
                 u_m=_welford(accum.u_m, u, n),
                 u_m2=_welford(accum.u_m2, u**2, n),
+                vc_m=tuple(_welford(m, v, n)
+                           for m, v in zip(accum.vc_m, state.vc)),
+                vc_m2=tuple(_welford(m, v**2, n)
+                            for m, v in zip(accum.vc_m2, state.vc)),
             )
         return state, accum
 
@@ -232,6 +266,32 @@ def run_mcmc_rrm(model, df: pd.DataFrame, opts, dtype):
 
     # location design over the long observations
     W = np.asarray(build_design(model, df).todense())
+
+    # --- random effects (iid / V / pedigree-A), fitted in the lambda-MME
+    # exactly like the main driver (MCMC_BayesianAlphabet_RRM.jl:41,106,159).
+    # Default priors: var(y)/2 split when undeclared (h2=0.5 convention). ---
+    re_cfgs, Vinvs, vc_scales, vc0 = [], [], [], []
+    for re in model.random_effects:
+        terms = [model.term_dict[t_] for t_ in re.term_array]
+        q = terms[0].n_levels
+        k = len(re.term_array)
+        if re.G.val is None:
+            base = float(np.var(yv, ddof=1)) / 2.0
+            re.G.val = np.eye(k) * base
+            re.G.scale = np.asarray(re.G.val) * (re.G.df - k - 1.0)
+        G0 = np.atleast_2d(np.asarray(re.G.val, dtype=np.float64))
+        scale0 = np.atleast_2d(np.asarray(re.G.scale, dtype=np.float64))
+        re_cfgs.append(REGroupCfg(
+            starts=tuple(t_.start_pos for t_ in terms), n_levels=q,
+            df=float(re.G.df), has_vinv=re.Vinv is not None,
+            random_type=re.random_type,
+        ))
+        Vinvs.append(
+            np.asarray(re.Vinv.todense()) if re.Vinv is not None
+            else np.zeros((0, 0))
+        )
+        vc_scales.append(scale0)
+        vc0.append(G0)
 
     # genotypes aligned to one row per individual
     if not model.M:
@@ -300,6 +360,7 @@ def run_mcmc_rrm(model, df: pd.DataFrame, opts, dtype):
         df_residual=float(model.R.df),
         df_marker=df_marker,
         scale_R=scale_R,
+        re_groups=tuple(re_cfgs),
     )
     data = RRMData(
         W=jnp.asarray(W, dtype),
@@ -311,6 +372,8 @@ def run_mcmc_rrm(model, df: pd.DataFrame, opts, dtype):
         obs_mask=jnp.asarray(obs_mask, dtype),
         time_idx=jnp.asarray(time_idx),
         ind_idx=jnp.asarray(ind_idx),
+        Vinv=tuple(jnp.asarray(v, dtype) for v in Vinvs),
+        vc_scale=tuple(jnp.asarray(v, dtype) for v in vc_scales),
     )
     seed = opts.seed if opts.seed is not None else 0
     state = RRMState(
@@ -324,6 +387,7 @@ def run_mcmc_rrm(model, df: pd.DataFrame, opts, dtype):
         varg=jnp.asarray(gval, dtype),
         pi=jnp.asarray(pi0, dtype),
         marker_scale=jnp.asarray(marker_scale, dtype),
+        vc=tuple(jnp.asarray(v, dtype) for v in vc0),
     )
 
     n_outer = max(1, opts.chain_length)
@@ -344,20 +408,23 @@ def run_mcmc_rrm(model, df: pd.DataFrame, opts, dtype):
         varg_m=z(state.varg.shape, dtype), varg_m2=z(state.varg.shape, dtype),
         pi_m=z(state.pi.shape, dtype), pi_m2=z(state.pi.shape, dtype),
         u_m=z((ntimes, nind), dtype), u_m2=z((ntimes, nind), dtype),
+        vc_m=tuple(z(v.shape, dtype) for v in state.vc),
+        vc_m2=tuple(z(v.shape, dtype) for v in state.vc),
     )
     if burnin > 0:
         state, accum = run_window(state, data, accum, burnin, accumulate=False)
     for _ in range(n_saved):
         state, accum = run_window(state, data, accum, osf, accumulate=True)
 
-    return _rrm_results(model, geno, cfg, accum, ids, times, opts)
+    return _rrm_results(model, geno, cfg, accum, ids, times, opts,
+                        re_groups=model.random_effects)
 
 
 def _sd(m, m2):
     return np.sqrt(np.abs(np.asarray(m2) - np.asarray(m) ** 2))
 
 
-def _rrm_results(model, geno, cfg, accum, ids, times, opts):
+def _rrm_results(model, geno, cfg, accum, ids, times, opts, re_groups=()):
     import os
 
     results = {}
@@ -414,6 +481,21 @@ def _rrm_results(model, geno, cfg, accum, ids, times, opts):
                 "SD": _sd(accum.pi_m, accum.pi_m2),
             }
         )
+    # random-effect covariance components
+    for re, vc_m, vc_m2 in zip(re_groups, accum.vc_m, accum.vc_m2):
+        vc_m = np.atleast_2d(np.asarray(vc_m))
+        vc_sd = np.atleast_2d(_sd(vc_m, np.asarray(vc_m2)))
+        k = vc_m.shape[0]
+        lbl = [f"{re.term_array[i]}_{re.term_array[j]}"
+               for i in range(k) for j in range(k)]
+        df_vc = pd.DataFrame({"Covariance": lbl,
+                              "Estimate": vc_m.reshape(-1),
+                              "SD": vc_sd.reshape(-1)})
+        if re.random_type == "A":
+            results["polygenic effects covariance matrix"] = df_vc
+        else:
+            results[f"random effect variances {re.term_array[0]}"] = df_vc
+
     # BV trajectory per individual x time (u_i(t) = Phi_t sum_j m_ij alpha_j)
     u_m = np.asarray(accum.u_m)
     u_sd = _sd(accum.u_m, accum.u_m2)

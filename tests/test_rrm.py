@@ -91,3 +91,75 @@ def test_rrm_validation():
     model = build_model("y = intercept + time + geno", genotypes=geno)
     with pytest.raises(ValueError, match="unique times"):
         runMCMC(model, df, chain_length=5, RRM=phi[:3], output_folder="")
+
+
+def test_rrm_with_iid_random_effect():
+    """RRM driver fits declared random effects in the lambda-MME
+    (MCMC_BayesianAlphabet_RRM.jl:41,106,159): an i.i.d. permanent-environment
+    effect per individual is recovered alongside the marker trajectory."""
+    from jwas_tpu import set_random
+
+    rng = np.random.default_rng(11)
+    df, geno_df, U, ids, times, phi = _rrm_sim(seed=11, nind=200, p=80, c=2)
+    # inject a per-individual permanent environmental effect
+    pe = rng.normal(0, 0.8 * U.std(), size=len(ids))
+    pe_of = {s: v for s, v in zip(ids, pe)}
+    df = df.copy()
+    df["y"] = df["y"] + df["ID"].map(pe_of)
+
+    geno = get_genotypes(geno_df, method="BayesC", name="geno")
+    model = build_model("y = intercept + time + ID + geno", genotypes=geno)
+    set_covariate(model, "time")
+    set_random(model, "ID", float(0.64 * U.std() ** 2))
+    out = runMCMC(model, df, chain_length=400, burnin=80,
+                  output_samples_frequency=5, seed=2, RRM=phi,
+                  output_folder="")
+
+    key = "random effect variances y:ID"
+    assert key in out
+    pe_var = float(out[key]["Estimate"].iloc[0])
+    true_var = float(np.var(pe))
+    assert 0.25 * true_var < pe_var < 4.0 * true_var
+
+    # trajectory EBVs still track the simulated U
+    traj = out["EBV_trajectory"]
+    acc = []
+    for ti, tval in enumerate(times):
+        sub = traj[traj["time"] == tval].set_index("ID")["EBV"]
+        acc.append(np.corrcoef(sub.loc[ids].to_numpy(), U[ti])[0, 1])
+    assert np.mean(acc) > 0.4, acc
+
+    # the ID solutions correlate with the injected effects
+    loc = out["location parameters"]
+    sol_id = loc[(loc["Effect"] == "ID")].set_index("Level")["Estimate"]
+    acc_pe = np.corrcoef(sol_id.loc[ids].to_numpy(), pe)[0, 1]
+    assert acc_pe > 0.4, acc_pe
+
+
+def test_rrm_with_pedigree_polygenic_effect():
+    """RRM with a pedigree-based polygenic term (Vinv = A-inverse)."""
+    from jwas_tpu import get_pedigree, set_random
+    from jwas_tpu.io.datasets import simulate_pedigree_genomic_data
+
+    fam = simulate_pedigree_genomic_data(n_founders=30, n_gen=2, n_per_gen=60,
+                                         p=60, n_qtl=8, h2=0.5, seed=4)
+    ped = get_pedigree(fam["pedigree"])
+    ids = [str(s) for s in fam["genotypes"]["ID"]]
+    rng = np.random.default_rng(4)
+    times = np.arange(1.0, 5.0)
+    phi = generate_full_phi(times, ncoeff=2)
+    rows = []
+    bv = dict(zip(ids, np.asarray(fam["true_bv"], dtype=float)))
+    for tval in times:
+        for s in ids:
+            rows.append((s, tval, 1.0 + bv[s] + rng.normal(0, 1.0)))
+    df = pd.DataFrame(rows, columns=["ID", "time", "y"])
+
+    geno = get_genotypes(fam["genotypes"], method="RR-BLUP", name="geno")
+    model = build_model("y = intercept + ID + geno", genotypes=geno)
+    set_random(model, "ID", ped)
+    out = runMCMC(model, df, chain_length=200, burnin=40,
+                  output_samples_frequency=5, seed=5, RRM=phi,
+                  output_folder="")
+    assert "polygenic effects covariance matrix" in out
+    assert float(out["polygenic effects covariance matrix"]["Estimate"].iloc[0]) > 0
