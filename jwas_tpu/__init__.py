@@ -26,6 +26,8 @@ from jwas_tpu.models.model import (
     set_covariate,
     set_random,
     describe,
+    add_genotypes,
+    getMCMCinfo,
     outputEBV,
     outputMCMCsamples,
 )
@@ -48,6 +50,8 @@ __all__ = [
     "set_covariate",
     "set_random",
     "describe",
+    "add_genotypes",
+    "getMCMCinfo",
     "outputEBV",
     "outputMCMCsamples",
     "runMCMC",

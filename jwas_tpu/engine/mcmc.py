@@ -931,6 +931,14 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
 
     validate_args(model, opts)
 
+    # capture the run configuration on the model (MCMCinfo, JWAS.jl:266-271)
+    # and print the model + MCMC summary unless silenced
+    model.mcmc_info = opts
+    if opts.printout_model_info:
+        from jwas_tpu.models.model import describe
+
+        describe(model)
+
     if opts.RRM is not None:
         from jwas_tpu.engine.mcmc_rrm import run_mcmc_rrm
 
@@ -988,35 +996,41 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
             resumed = True
 
     # per-parameter MCMC sample files (output.jl:320-526)
+    from jwas_tpu.engine.progress import ProgressPrinter, maybe_profile
     from jwas_tpu.engine.samples_io import STSampleStream
 
     stream = STSampleStream(ws, cfg, opts, append=resumed)
+    progress = ProgressPrinter(opts.printout_frequency, opts.chain_length)
 
-    if burnin_outer > 0 and not resumed:
-        state, accum, _ = run_window(state, data, accum, burnin_outer, accumulate=False)
+    with maybe_profile(opts):
+        if burnin_outer > 0 and not resumed:
+            state, accum, _ = run_window(state, data, accum, burnin_outer,
+                                         accumulate=False)
 
-    for w in range(w0, n_saved):
-        state, accum, out = run_window(state, data, accum, thin_outer, accumulate=True)
-        if upf > 0:
+        for w in range(w0, n_saved):
+            state, accum, out = run_window(state, data, accum, thin_outer,
+                                           accumulate=True)
             iters_done = (burnin_outer + (w + 1) * thin_outer) * nreps
-            if iters_done // upf > prior_epoch:
+            if upf > 0 and iters_done // upf > prior_epoch:
                 prior_epoch = iters_done // upf
                 data, state = _apply_update_priors(cfg, data, state, accum)
-        samples["vare"].append(np.asarray(out.vare))
-        samples["varg"].append(np.asarray(out.varg_mean))
-        samples["pi"].append(np.asarray(out.pi_summary))
-        samples["genvar"].append(np.asarray(out.genvar))
-        samples["h2"].append(np.asarray(out.h2))
-        stream.write_sample(state, out)
-        if ck_every_w and (w + 1) % ck_every_w == 0:
-            ckpt.save_checkpoint(
-                ck_folder,
-                (burnin_outer + (w + 1) * thin_outer) * nreps,
-                (state, accum, data.vc_scale, data.scale_r),
-                samples,
-                {"w_next": w + 1, "prior_epoch": prior_epoch},
-                keep=opts.checkpoint_keep,
-            )
+            samples["vare"].append(np.asarray(out.vare))
+            samples["varg"].append(np.asarray(out.varg_mean))
+            samples["pi"].append(np.asarray(out.pi_summary))
+            samples["genvar"].append(np.asarray(out.genvar))
+            samples["h2"].append(np.asarray(out.h2))
+            stream.write_sample(state, out)
+            progress.update(iters_done, vare=out.vare, varg=out.varg_mean,
+                            pi=out.pi_summary)
+            if ck_every_w and (w + 1) % ck_every_w == 0:
+                ckpt.save_checkpoint(
+                    ck_folder,
+                    (burnin_outer + (w + 1) * thin_outer) * nreps,
+                    (state, accum, data.vc_scale, data.scale_r),
+                    samples,
+                    {"w_next": w + 1, "prior_epoch": prior_epoch},
+                    keep=opts.checkpoint_keep,
+                )
     stream.close()
 
     from jwas_tpu.engine.output import build_results

@@ -977,20 +977,22 @@ def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
             resumed = True
 
     # per-parameter MCMC sample files (output.jl:320-526)
+    from jwas_tpu.engine.progress import ProgressPrinter
     from jwas_tpu.engine.samples_io import MTSampleStream
 
     stream = MTSampleStream(ws, cfg, opts, append=resumed)
+    progress = ProgressPrinter(opts.printout_frequency, opts.chain_length,
+                               n_traits=cfg.n_traits)
 
     if burnin_outer > 0 and not resumed:
         state, accum, _ = run_window(state, data, accum, burnin_outer, accumulate=False)
 
     for w in range(w0, n_saved):
         state, accum, out = run_window(state, data, accum, thin_outer, accumulate=True)
-        if upf > 0:
-            iters_done = (burnin_outer + (w + 1) * thin_outer) * nreps
-            if iters_done // upf > prior_epoch:
-                prior_epoch = iters_done // upf
-                data = _apply_update_priors_mt(cfg, data, accum)
+        iters_done = (burnin_outer + (w + 1) * thin_outer) * nreps
+        if upf > 0 and iters_done // upf > prior_epoch:
+            prior_epoch = iters_done // upf
+            data = _apply_update_priors_mt(cfg, data, accum)
         for k_, v in (("R", out.R), ("varg", out.varg), ("pi", out.pi),
                       ("genvar", out.genvar), ("h2", out.h2)):
             samples[k_].append(np.asarray(v))
@@ -998,6 +1000,7 @@ def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
             samples["lam"].append(np.asarray(out.lam))
             samples["alpha"].append(np.asarray(state.alpha)[:, : cfg.n_markers])
         stream.write_sample(state, out)
+        progress.update(iters_done, vare=out.R, varg=out.varg, pi=out.pi)
         if ck_every_w and (w + 1) % ck_every_w == 0:
             ckpt.save_checkpoint(
                 ck_folder,

@@ -54,6 +54,12 @@ class MCMCOptions:
     RRM: object = None                  # (ntimes, ncoeff) Phi for random regression
     update_priors_frequency: int = 0
     printout_model_info: bool = True
+    printout_frequency: int = 0         # console progress every K iterations
+                                        # (MCMC_BayesianAlphabet.jl:417-420);
+                                        # 0 = silent
+    profile: bool = False               # capture a jax.profiler trace of the
+                                        # sampling loop under
+                                        # <output_folder>/profile
     starting_value: object = None
     mesh: object = None                 # jax.sharding.Mesh for multi-chip runs
     memory_guard: str = "warn"          # "error" | "warn" | "off" (C24)

@@ -81,6 +81,7 @@ class Model:
     mme_pos: int = 0
     obs_ids: List[str] = field(default_factory=list)
     causal_structure: Optional[np.ndarray] = None
+    mcmc_info: object = None            # MCMCOptions captured by runMCMC
 
     def term_names(self) -> List[str]:
         """Flat list 'trait:effect:level' in MME order (getNames, build_MME.jl:385)."""
@@ -195,6 +196,28 @@ def build_model(
         elif lhs in categorical_trait:
             model.traits_type[t] = "categorical"
     return model
+
+
+def add_genotypes(model: Model, file, G=None, **kwargs) -> Genotypes:
+    """Deprecated shim (readgenotypes.jl:24-47): attach genotypes to an
+    existing model. Prefer build_model(..., genotypes=get_genotypes(...))."""
+    import warnings
+
+    warnings.warn(
+        "add_genotypes is deprecated; pass genotypes=get_genotypes(...) to "
+        "build_model instead",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    from jwas_tpu.io.genotypes import get_genotypes
+
+    g = file if isinstance(file, Genotypes) else get_genotypes(file, G, **kwargs)
+    g.n_traits = model.n_models
+    g.trait_names = list(model.lhs_vec)
+    if model.n_models != 1:
+        g.G.df = g.G.df + model.n_models
+    model.M.append(g)
+    return g
 
 
 def set_covariate(model: Model, *cov_strs: str) -> None:
@@ -337,16 +360,81 @@ def outputMCMCsamples(model: Model, *trm_strs: str) -> None:
 
 
 def describe(model: Model) -> None:
-    """Print a model summary (the reference's `describe`, JWAS.jl:520-700)."""
+    """Print a model summary (the reference's `describe`, JWAS.jl:520-571)."""
     print("A Linear Mixed Model was built using model equations:\n")
     for eq in model.model_vec:
         print(f"  {eq}")
     print("\nModel Information:\n")
-    print(f"{'Term':<20}{'C/F':<12}{'F/R':<10}{'nLevels':<8}")
+    print(f"{'Term':<20}{'C/F':<12}{'F/R':<10}{'nLevels':>8}")
+    seen = set()
     for trm in model.terms:
         base = trm.factors[-1]
-        cf = "covariate" if base in model.cov_vec else "factor"
+        term = trm.trm_str.split(":", 1)[1]
+        if term in seen:
+            continue
+        seen.add(term)
+        if term == "intercept":
+            cf = "factor"
+        elif len(trm.factors) > 1:
+            cf = "interaction"
+        else:
+            cf = "covariate" if base in model.cov_vec else "factor"
         fr = "fixed" if trm.random_type == "fixed" else "random"
-        print(f"{trm.trm_str:<20}{cf:<12}{fr:<10}{trm.n_levels or '?':<8}")
+        print(f"{term:<20}{cf:<12}{fr:<10}{trm.n_levels or '?':>8}")
     for g in model.M:
-        print(f"{g.name:<20}{'marker':<12}{'random':<10}{g.n_markers:<8}  method={g.method}")
+        print(f"{g.name:<20}{'marker':<12}{'random':<10}{g.n_markers:>8}  "
+              f"method={g.method}")
+    print()
+    if model.mcmc_info is not None and getattr(
+        model.mcmc_info, "printout_model_info", True
+    ):
+        getMCMCinfo(model)
+
+
+def getMCMCinfo(model: Model) -> None:
+    """Print MCMC + hyper-parameter information (getMCMCinfo, JWAS.jl:573-700)."""
+    info = model.mcmc_info
+    if info is None:
+        print("MCMC information is not available\n")
+        return
+    print("MCMC Information:\n")
+    for name in ("chain_length", "burnin", "printout_frequency",
+                 "output_samples_frequency", "missing_phenotypes",
+                 "update_priors_frequency", "seed", "double_precision",
+                 "fast_blocks", "n_chains", "single_step_analysis",
+                 "outputEBV", "output_heritability", "output_folder"):
+        print(f"{name:<30}{str(getattr(info, name, None)):>24}")
+    print(f"{'constraint on residual variance':<30}"
+          f"{str(bool(model.R.constraint)):>20}")
+    for g in model.M:
+        print(f"constraint on marker effect variance for {g.name}: "
+              f"{bool(g.G.constraint)}")
+
+    print("\nHyper-parameters Information:\n")
+    for re in model.random_effects:
+        terms = ",".join(re.term_array)
+        if re.G.val is not None:
+            val = np.round(np.atleast_2d(np.asarray(re.G.val, dtype=float)), 3)
+            label = ("genetic variances (polygenic):"
+                     if re.random_type == "A"
+                     else f"random effect variances ({terms}):")
+            print(f"{label:<35}{np.array2string(val)}")
+    if model.R.val is not None:
+        print(f"{'residual variances:':<35}"
+              f"{np.array2string(np.round(np.atleast_2d(np.asarray(model.R.val, dtype=float)), 3))}")
+    for g in model.M:
+        print(f"\nGenomic Information ({g.name}):\n")
+        print(f"{'method':<30}{g.method:>24}")
+        print(f"{'nMarkers':<30}{g.n_markers:>24}")
+        print(f"{'nObs':<30}{g.n_obs:>24}")
+        print(f"{'estimatePi':<30}{str(bool(g.estimate_pi)):>24}")
+        if g.genetic_variance.val is not None:
+            print(f"{'genetic variance':<30}"
+                  f"{np.array2string(np.round(np.atleast_2d(np.asarray(g.genetic_variance.val, dtype=float)), 4)):>24}")
+        if g.G.val is not None:
+            print(f"{'marker effect variance':<30}"
+                  f"{np.array2string(np.round(np.atleast_2d(np.asarray(g.G.val, dtype=float)), 6)):>24}")
+        if not isinstance(g.pi, dict):
+            print(f"{'pi':<30}{str(g.pi):>24}")
+        else:
+            print(f"{'pi (joint patterns)':<30}{str(g.pi):>24}")

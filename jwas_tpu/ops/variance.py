@@ -19,7 +19,10 @@ from jwas_tpu.ops.dists import (
     sample_scaled_inv_chi2,
 )
 
-BAYESR_GAMMA = jnp.array([0.0, 0.01, 0.1, 1.0])
+# kept as a host tuple and converted at trace time: a module-level jnp.array
+# would freeze float32-rounded values when imported before x64 is enabled,
+# breaking float64 parity replays
+BAYESR_GAMMA = (0.0, 0.01, 0.1, 1.0)
 
 
 def sample_residual_variance_st(key, ycorr, n_obs, df, scale, invweights=None):
@@ -59,7 +62,7 @@ def bayesr_sigma_sufficient_statistics(alpha, delta):
     (bayesr_sigma_sufficient_statistics, variance_components.jl:68-79):
     ssq = sum_{delta>0} alpha^2 / gamma_delta over 0-based class labels,
     nnz = count of markers in nonzero classes."""
-    gamma = BAYESR_GAMMA.astype(alpha.dtype)
+    gamma = jnp.asarray(BAYESR_GAMMA, dtype=alpha.dtype)
     nz = delta > 0
     g = gamma[jnp.clip(delta, 1, 3)]
     ssq = jnp.sum(jnp.where(nz, alpha * alpha / g, 0.0))
