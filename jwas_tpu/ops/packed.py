@@ -198,13 +198,17 @@ def packed_markers_from_arrays(packed, means, valid, row_perm, n_obs: int,
     rinv_d = None if rinv is None else jnp.asarray(rinv, dtype)
     row_perm_d = None if row_perm is None else jnp.asarray(row_perm)
 
+    # packed/means enter as jit ARGUMENTS: a closure capture would bake the
+    # multi-GB packed store into the executable as a lowering constant
     @partial(jax.jit, static_argnames=("nblk",))
-    def gram_group(k0, nblk):
-        rows = jax.lax.dynamic_slice(packed, (k0 * b, 0), (nblk * b, packed.shape[1]))
-        mns = jax.lax.dynamic_slice(means, (k0 * b,), (nblk * b,))
-        X = decode_tile(rows, mns, row_perm_d, dtype, n_obs=n_obs)  # (n, nblk*b)
+    def gram_group(packed_a, means_a, rp, rv, k0, nblk):
+        rows = jax.lax.dynamic_slice(
+            packed_a, (k0 * b, 0), (nblk * b, packed_a.shape[1])
+        )
+        mns = jax.lax.dynamic_slice(means_a, (k0 * b,), (nblk * b,))
+        X = decode_tile(rows, mns, rp, dtype, n_obs=n_obs)   # (n, nblk*b)
         Xb = X.reshape(n_obs, nblk, b)
-        Xw = Xb if rinv_d is None else Xb * rinv_d[:, None, None]
+        Xw = Xb if rv is None else Xb * rv[:, None, None]
         g = jnp.einsum("nkb,nkc->bck", Xw, Xb)               # (b, b, nblk)
         xpx = jnp.einsum("nkb,nkb->kb", Xw, Xb).reshape(-1)  # (nblk*b,)
         return g, xpx
@@ -212,7 +216,7 @@ def packed_markers_from_arrays(packed, means, valid, row_perm, n_obs: int,
     grams_parts, xpx_parts = [], []
     for k0 in range(0, nblocks, gram_chunk):
         nblk = min(gram_chunk, nblocks - k0)
-        g, xpx = gram_group(k0, nblk)
+        g, xpx = gram_group(packed, means, row_perm_d, rinv_d, k0, nblk)
         grams_parts.append(g)
         xpx_parts.append(xpx)
     grams = jnp.concatenate(grams_parts, axis=2)
