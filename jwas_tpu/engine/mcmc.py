@@ -882,12 +882,15 @@ def _run_multichain(ws, cfg, data, state, opts):
     if burnin_outer > 0:
         states, accums, _ = mc(states, data, accums, burnin_outer, False)
 
-    chain_samples = {"vare": [], "h2": [], "genvar": []}
+    chain_samples = {"vare": [], "h2": [], "genvar": [], "varg": []}
+    chain_pi = []
     samples = {"vare": [], "varg": [], "pi": [], "genvar": [], "h2": []}
     for _ in range(n_saved):
         states, accums, out = mc(states, data, accums, thin_outer, True)
-        for k_ in chain_samples:
-            chain_samples[k_].append(np.asarray(getattr(out, k_)))  # (K,)
+        for k_, field_ in (("vare", "vare"), ("h2", "h2"),
+                           ("genvar", "genvar"), ("varg", "varg_mean")):
+            chain_samples[k_].append(np.asarray(getattr(out, field_)))  # (K,)
+        chain_pi.append(np.asarray(out.pi_summary))                     # (K, 4)
         samples["vare"].append(np.asarray(out.vare).mean(axis=0))
         samples["varg"].append(np.asarray(out.varg_mean).mean(axis=0))
         samples["pi"].append(np.asarray(out.pi_summary).mean(axis=0))
@@ -907,6 +910,16 @@ def _run_multichain(ws, cfg, data, state, opts):
             arr = np.stack(vals)                     # (n_saved, K)
             try:
                 rows.append((name, float(_psrf(*[arr[:, c] for c in range(K)]))))
+            except Exception:
+                continue
+        pi_arr = np.stack(chain_pi)                  # (n_saved, K, 4)
+        for comp in range(pi_arr.shape[2]):
+            col = pi_arr[:, :, comp]
+            if np.allclose(col.std(axis=0), 0.0):
+                continue                             # constant component
+            try:
+                rows.append((f"pi[{comp}]",
+                             float(_psrf(*[col[:, c] for c in range(K)]))))
             except Exception:
                 continue
         results["PSRF"] = pd.DataFrame(rows, columns=["parameter", "PSRF"])
