@@ -173,12 +173,13 @@ def make_st_step(cfg: EngineCfg):
                 alpha, beta, delta, ycorr = sweep_blocks_abc_pallas_packed(
                     pm, alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
                     k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
-                    interpret=interp,
+                    interpret=interp, host_store=cfg.host_offload,
                 )
             else:
                 alpha, beta, delta, ycorr = sweep_blocks_abc_packed(
                     pm, alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
                     k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                    host_store=cfg.host_offload,
                 )
         elif cfg.method in ("BayesC", "BayesB") and cfg.use_pallas:
             from jwas_tpu.ops.pallas_sweep import sweep_blocks_abc_pallas
@@ -523,6 +524,27 @@ def _apply_update_priors(cfg, data: STData, state: ChainState, accum: Accum):
     return data, state
 
 
+def _resolve_host_offload(flag, packed) -> bool:
+    """Out-of-core decision: explicit True/False, or 'auto' = offload when
+    the packed store exceeds 60% of the device memory budget (the runtime
+    analogue of the reference's streaming mode select,
+    streaming_genotypes.jl:480-497)."""
+    if flag is True:
+        return True
+    if not flag or flag != "auto":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit", 0)
+    except Exception:
+        limit = 0
+    if not limit:
+        return False
+    return packed.size > 0.6 * limit
+
+
 def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     model = ws.model
     n = ws.n_obs
@@ -536,6 +558,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     use_blocks = bool(opts.fast_blocks) and method not in ("GBLUP", "none")
 
     packed_pm = None
+    host_offload = False
     if method == "GBLUP":
         X = jnp.asarray(ws.gblup_L, dtype)
         xpx = jnp.asarray(ws.gblup_D, dtype)
@@ -559,6 +582,13 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
             store, ws.obs_ids, bs,
             rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
         )
+        host_offload = _resolve_host_offload(
+            opts.host_offload_genotypes, packed_pm.packed
+        )
+        if host_offload:
+            from jwas_tpu.ops.packed import offload_packed_to_host
+
+            packed_pm = offload_packed_to_host(packed_pm)
         X = jnp.zeros((n, 0), dtype)
         xpx = packed_pm.xpx
         grams = packed_pm.grams
@@ -746,6 +776,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
             and method in ("BayesC", "BayesB")
             and grams.shape[2] % 128 == 0
         ),
+        host_offload=host_offload,
         scale_R=float(ws.scale_R),
     )
     data = STData(
@@ -788,7 +819,8 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     if packed_pm is not None:
         from jwas_tpu.ops.packed import packed_matvec
 
-        ycorr = ycorr - packed_matvec(packed_pm, alpha, n_obs=n)
+        ycorr = ycorr - packed_matvec(packed_pm, alpha, n_obs=n,
+                                      host_store=host_offload)
     elif method == "GBLUP":
         ycorr = ycorr - X @ alpha
     elif p > 0:

@@ -63,6 +63,11 @@ class MCMCOptions:
     starting_value: object = None
     mesh: object = None                 # jax.sharding.Mesh for multi-chip runs
     memory_guard: str = "warn"          # "error" | "warn" | "off" (C24)
+    host_offload_genotypes: object = "auto"  # keep the 2-bit packed store in
+                                        # pinned HOST memory and stream chunks
+                                        # (out-of-core at >HBM scale); "auto"
+                                        # offloads when the store exceeds 60%%
+                                        # of the device memory budget
     memory_guard_ratio: float = 0.9
     n_chains: int = 1                   # parallel chains (vmapped; P6 analogue)
     use_pallas: bool = False            # Pallas kernel for the blocked sweep

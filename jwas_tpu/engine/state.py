@@ -100,3 +100,5 @@ class EngineCfg:
     anno_steps: int = 0   # probit submodels: 1 (AnnoBayesC), 3 (AnnoBayesR)
     is_packed: bool = False   # genotypes are a 2-bit packed device store
     use_pallas: bool = False  # run blocked inner rounds in the Pallas kernel
+    host_offload: bool = False  # packed store lives in pinned host memory;
+                                # sync GEMVs stream chunks (out-of-core)

@@ -32,6 +32,51 @@ class PackedMarkers(NamedTuple):
     valid: jnp.ndarray      # (p_pad,)
 
 
+def offload_packed_to_host(pm: "PackedMarkers") -> "PackedMarkers":
+    """Move the 2-bit store to pinned HOST memory (TPU memory offloading):
+    the sync GEMVs then stream marker chunks over PCIe each round while only
+    the Gram tiles + chain state stay HBM-resident — the runtime analogue of
+    the reference's out-of-core decode loop (streaming_genotypes.jl:978-1027)
+    for stores larger than one chip's HBM (N=500k x P=2M: 250 GB packed vs
+    ~1 GB of Gram tiles at b=128).
+
+    No-op (with a warning) on backends without a pinned_host memory space.
+    """
+    import warnings
+
+    import jax
+
+    try:
+        dev = pm.packed.devices().pop() if hasattr(pm.packed, "devices") else (
+            jax.devices()[0]
+        )
+        sharding = jax.sharding.SingleDeviceSharding(
+            dev, memory_kind="pinned_host"
+        )
+        packed_h = jax.device_put(pm.packed, sharding)
+        means_h = jax.device_put(pm.means, sharding)
+        return pm._replace(packed=packed_h, means=means_h)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        warnings.warn(f"host offload of the packed store unavailable: {e}")
+        return pm
+
+
+def _to_device_memory(x):
+    """Inside-jit transfer of a host-resident chunk into device (HBM) memory
+    (the explicit move the XLA memory-offloading model requires); a no-op
+    annotation when the operand already lives on device or the backend has a
+    single memory space."""
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+        return jax.device_put(
+            x, jax.sharding.SingleDeviceSharding(dev, memory_kind="device")
+        )
+    except Exception:  # pragma: no cover - backend-dependent
+        return x
+
+
 def decode_tile(packed_rows, means_rows, row_perm, dtype=jnp.float32,
                 n_obs: int = 0):
     """Decode (k, bpm) packed rows -> centered (n_obs, k) float tile.
@@ -59,12 +104,14 @@ def _pick_chunk(p_pad: int, b: int, target: int = 4096) -> int:
     return k * b
 
 
-@partial(jax.jit, static_argnames=("chunk", "n_obs"))
-def packed_matvec(pm: PackedMarkers, v, chunk: int = 0, n_obs: int = 0):
+@partial(jax.jit, static_argnames=("chunk", "n_obs", "host_store"))
+def packed_matvec(pm: PackedMarkers, v, chunk: int = 0, n_obs: int = 0,
+                  host_store: bool = False):
     """X @ v without densifying X: scan over marker chunks of the packed
     store, decoding each tile into VMEM-sized registers (streaming_mul_alpha!,
     :1009-1027, but tiled and on-device). n_obs is required (static) when
-    pm.row_perm is None (identity fast path)."""
+    pm.row_perm is None (identity fast path). host_store=True streams each
+    packed chunk from pinned host memory (out-of-core mode)."""
     p_pad = pm.packed.shape[0]
     if chunk <= 0:
         chunk = _pick_chunk(p_pad, pm.grams.shape[0])
@@ -76,6 +123,9 @@ def packed_matvec(pm: PackedMarkers, v, chunk: int = 0, n_obs: int = 0):
         rows = jax.lax.dynamic_slice(pm.packed, (k * chunk, 0),
                                      (chunk, pm.packed.shape[1]))
         mns = jax.lax.dynamic_slice(pm.means, (k * chunk,), (chunk,))
+        if host_store:
+            rows = _to_device_memory(rows)
+            mns = _to_device_memory(mns)
         vs = jax.lax.dynamic_slice(v, (k * chunk,), (chunk,))
         X = decode_tile(rows, mns, pm.row_perm, dtype, n_obs=n)
         return acc + X @ vs, None
@@ -85,8 +135,8 @@ def packed_matvec(pm: PackedMarkers, v, chunk: int = 0, n_obs: int = 0):
     return acc
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def packed_rhs(pm: PackedMarkers, w, chunk: int = 0):
+@partial(jax.jit, static_argnames=("chunk", "host_store"))
+def packed_rhs(pm: PackedMarkers, w, chunk: int = 0, host_store: bool = False):
     """X' w over the packed store, tiled (the rhs0 of the blocked sweep)."""
     p_pad = pm.packed.shape[0]
     if chunk <= 0:
@@ -99,6 +149,9 @@ def packed_rhs(pm: PackedMarkers, w, chunk: int = 0):
         rows = jax.lax.dynamic_slice(pm.packed, (k * chunk, 0),
                                      (chunk, pm.packed.shape[1]))
         mns = jax.lax.dynamic_slice(pm.means, (k * chunk,), (chunk,))
+        if host_store:
+            rows = _to_device_memory(rows)
+            mns = _to_device_memory(mns)
         X = decode_tile(rows, mns, pm.row_perm, dtype, n_obs=n)
         return None, X.T @ w
 
@@ -106,10 +159,11 @@ def packed_rhs(pm: PackedMarkers, w, chunk: int = 0):
     return parts.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("nreps", "sync_every", "chunk"))
+@partial(jax.jit, static_argnames=("nreps", "sync_every", "chunk", "host_store"))
 def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
                             rinv, vare, var_eff, pi, key, nreps: int = 1,
-                            sync_every=None, chunk: int = 0):
+                            sync_every=None, chunk: int = 0,
+                            host_store: bool = False):
     """Fast-blocks BayesA/B/C sweep over the packed store.
 
     Identical math to markers.sweep_blocks_abc (BayesABC block path,
@@ -153,7 +207,9 @@ def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
     def round_fn(stt, kr, reps):
         alpha_b, beta_b, delta_b, ycorr = stt
         w = ycorr if rinv is None else rinv * ycorr
-        rhs0 = mk._to_jmajor(packed_rhs(pm, w, chunk=chunk), nblocks, b)
+        rhs0 = mk._to_jmajor(
+            packed_rhs(pm, w, chunk=chunk, host_store=host_store), nblocks, b
+        )
         ku, kz = jax.random.split(kr)
         us = jax.random.uniform(ku, (reps * b, nblocks), dtype=dtype)
         zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
@@ -163,7 +219,7 @@ def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
         )
         ycorr = ycorr + packed_matvec(
             pm, mk._from_jmajor(alpha_start - alpha_b), chunk=chunk,
-            n_obs=ycorr.shape[0],
+            n_obs=ycorr.shape[0], host_store=host_store,
         )
         return (alpha_b, beta_b, delta_b, ycorr)
 

@@ -196,7 +196,7 @@ def abc_inner_rounds_pallas(grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
 def sweep_blocks_abc_pallas_packed(pm, alpha, beta, delta, ycorr, rinv, vare,
                                    var_eff, pi, key, nreps: int = 1,
                                    sync_every=None, interpret: bool = False,
-                                   chunk: int = 0):
+                                   chunk: int = 0, host_store: bool = False):
     """Pallas inner rounds + 2-bit packed residual syncs: the north-star
     single-chip configuration. The inner block chains run in the Pallas
     kernel (speed-of-light on Gram-row traffic) and the two O(n*p) GEMVs
@@ -219,7 +219,9 @@ def sweep_blocks_abc_pallas_packed(pm, alpha, beta, delta, ycorr, rinv, vare,
     def round_fn(stt, kr, reps):
         alpha_b, beta_b, delta_b, ycorr = stt
         w = ycorr if rinv is None else rinv * ycorr
-        rhs0 = mk._to_jmajor(packed_rhs(pm, w, chunk=chunk), nblocks, b)
+        rhs0 = mk._to_jmajor(
+            packed_rhs(pm, w, chunk=chunk, host_store=host_store), nblocks, b
+        )
         ku, kz = jax.random.split(kr)
         us = jax.random.uniform(ku, (reps * b, nblocks), dtype=dtype)
         zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
@@ -231,7 +233,7 @@ def sweep_blocks_abc_pallas_packed(pm, alpha, beta, delta, ycorr, rinv, vare,
         )
         ycorr = ycorr + packed_matvec(
             pm, mk._from_jmajor(alpha_start - alpha_b), chunk=chunk,
-            n_obs=ycorr.shape[0],
+            n_obs=ycorr.shape[0], host_store=host_store,
         )
         return (alpha_b, beta_b, delta_b, ycorr)
 
