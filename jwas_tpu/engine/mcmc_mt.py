@@ -823,7 +823,17 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
 
     seed = opts.seed if opts.seed is not None else 0
     key = jax.random.PRNGKey(seed)
-    sol = jnp.zeros((K,), dtype)
+    if opts.starting_value is not None and opts.starting_value is not False:
+        sv = np.asarray(opts.starting_value, dtype=np.float64).reshape(-1)
+        if len(sv) != K:
+            raise ValueError(
+                f"length of starting values for non-marker location "
+                f"parameters is wrong (expected {K}, got {len(sv)}); the "
+                f"order is model.term_names()"
+            )
+        sol = jnp.asarray(sv, dtype)
+    else:
+        sol = jnp.zeros((K,), dtype)
     alpha = jnp.zeros((t, p_pad), dtype)
     beta = alpha
     delta = jnp.broadcast_to(valid[None, :], (t, p_pad)).astype(dtype)

@@ -132,6 +132,63 @@ class Genotypes:
         return out
 
 
+def _validate_annotations(annotations, marker_ids, n_markers, method):
+    """Annotation schema validation (validate_annotations_input +
+    validate_annotation_design, readgenotypes.jl:56-158).
+
+    Accepts a numeric (p, k) array, or a file path / DataFrame whose first
+    column is the marker id (rows are aligned to the genotype marker order;
+    every genotype marker must be annotated). Rejects constant columns and
+    collinear designs (an intercept is added automatically downstream).
+    """
+    if isinstance(annotations, str):
+        annotations = pd.read_csv(annotations)
+    if isinstance(annotations, pd.DataFrame):
+        first = annotations.columns[0]
+        if annotations[first].dtype == object or str(first).lower() in (
+            "marker_id", "markerid", "id", "snp",
+        ):
+            idx = annotations.set_index(annotations[first].astype(str))
+            missing = [m for m in marker_ids if m not in idx.index]
+            if missing:
+                raise ValueError(
+                    f"annotations are missing marker(s) {missing[:5]}"
+                    + ("..." if len(missing) > 5 else "")
+                )
+            annotations = idx.loc[list(marker_ids)].iloc[:, 1:]
+        ann = annotations.to_numpy()
+    else:
+        ann = np.asarray(annotations)
+    if method not in ("BayesC", "BayesR"):
+        raise ValueError(
+            'annotations are only supported with method="BayesC" or '
+            'method="BayesR"'
+        )
+    ann = np.asarray(ann, dtype=np.float64)
+    if ann.ndim != 2 or not np.isfinite(ann).all():
+        raise ValueError("annotations must be a finite numeric matrix with "
+                         "one row per marker")
+    if ann.shape[0] != n_markers:
+        raise ValueError(
+            f"annotations rows ({ann.shape[0]}) must match the number of "
+            f"raw markers ({n_markers})"
+        )
+    const_cols = [j for j in range(ann.shape[1])
+                  if np.unique(ann[:, j]).size == 1]
+    if const_cols:
+        raise ValueError(
+            f"annotations contain constant column(s) {const_cols}; remove "
+            "them (an intercept is added automatically)"
+        )
+    design = np.hstack([np.ones((ann.shape[0], 1)), ann])
+    if np.linalg.matrix_rank(design) != design.shape[1]:
+        raise ValueError(
+            "annotations are collinear after adding the intercept; remove "
+            "duplicate or perfectly collinear annotation columns"
+        )
+    return ann
+
+
 def _read_genotype_input(file, separator, header, dtype):
     """Parse file/DataFrame/array into (obs_ids, marker_ids, matrix)."""
     if isinstance(file, str):
@@ -245,11 +302,17 @@ def get_genotypes(
     n_obs, n_markers = mat.shape
 
     if annotations is not None:
-        annotations = np.asarray(annotations, dtype=np.float64)
-        if method not in ("BayesC", "BayesR"):
-            raise ValueError("annotations are only supported with BayesC or BayesR")
-        if annotations.shape[0] != n_markers:
-            raise ValueError("annotations must have one row per raw marker")
+        annotations = _validate_annotations(
+            annotations, marker_ids, n_markers, method
+        )
+        if not estimatePi:
+            import warnings
+
+            warnings.warn(
+                f"estimatePi=False is ignored when annotations are provided; "
+                f"Annotated {method} requires estimatePi=True."
+            )
+            estimatePi = True
 
     is_grm = False
     if method == "GBLUP":
