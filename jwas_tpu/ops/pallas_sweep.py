@@ -27,17 +27,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
+LANES = 128          # hardware lane width; the kernel tile may span several
 
 
-def _abc_kernel(nreps: int, b: int,
+def _pick_lanes(nblocks: int, b: int, dtype_bytes: int = 4) -> int:
+    """Lane-group width per grid cell: wider tiles amortize the per-step
+    DMA/semaphore overhead (the kernel is overhead-bound at (b, 128) tiles —
+    each inner step moves only b*128*4 bytes). Bounded by VMEM: the kernel
+    holds ~9 (b, lanes) f32 buffers + a (2, 2, b, lanes) RNG panel."""
+    budget = 12 * 1024 * 1024  # leave headroom under ~16 MB VMEM
+    lanes = LANES
+    for cand in (1024, 512, 256):
+        if nblocks % cand == 0 and (13 * b * cand * dtype_bytes) <= budget:
+            lanes = cand
+            break
+    return lanes
+
+
+def _abc_kernel(nreps: int, b: int, lanes: int,
                 xpx_ref, var_eff_ref, log_pi_ref, log_pi_comp_ref,
                 inv_vare_ref,
                 us_hbm, zs_hbm, grams_hbm,
                 alpha_in, beta_in, delta_in, rhs_in,
                 alpha_ref, beta_ref, delta_ref, rhs_ref,
                 gram_buf, rng_buf, gram_sems, rng_sems):
-    """One grid cell: all inner rounds for a 128-lane group of blocks.
+    """One grid cell: all inner rounds for a `lanes`-wide group of blocks.
 
     alpha/beta/delta/rhs: inputs aliased onto the outputs (same VMEM buffer);
     all reads/writes go through the out refs. us/zs/grams stay in HBM (ANY);
@@ -45,23 +59,23 @@ def _abc_kernel(nreps: int, b: int,
     buffers.
     """
     del alpha_in, beta_in, delta_in, rhs_in
-    k0 = pl.program_id(0) * LANES
+    k0 = pl.program_id(0) * lanes
     inv_vare = inv_vare_ref[0]
     n_steps = nreps * b
 
     def gram_dma(slot, step):
         j = step % b
         return pltpu.make_async_copy(
-            grams_hbm.at[j, :, pl.ds(k0, LANES)], gram_buf.at[slot],
+            grams_hbm.at[j, :, pl.ds(k0, lanes)], gram_buf.at[slot],
             gram_sems.at[slot],
         )
 
     def rng_dma(slot, rnd):
         return pltpu.make_async_copy(
-            us_hbm.at[pl.ds(rnd * b, b), pl.ds(k0, LANES)],
+            us_hbm.at[pl.ds(rnd * b, b), pl.ds(k0, lanes)],
             rng_buf.at[slot, 0], rng_sems.at[slot, 0],
         ), pltpu.make_async_copy(
-            zs_hbm.at[pl.ds(rnd * b, b), pl.ds(k0, LANES)],
+            zs_hbm.at[pl.ds(rnd * b, b), pl.ds(k0, lanes)],
             rng_buf.at[slot, 1], rng_sems.at[slot, 1],
         )
 
@@ -137,33 +151,34 @@ def abc_inner_rounds_pallas(grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
     b, _, nblocks = grams.shape
     if nblocks % LANES:
         raise ValueError(f"nblocks ({nblocks}) must be a multiple of {LANES}")
-    grid = (nblocks // LANES,)
+    lanes = _pick_lanes(nblocks, b)
+    grid = (nblocks // lanes,)
     dtype = rhs0.dtype
 
     tile = lambda i: (0, i)                   # noqa: E731
-    kernel = partial(_abc_kernel, nreps, b)
+    kernel = partial(_abc_kernel, nreps, b, lanes)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),   # xpx
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),   # var_eff
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),   # log_pi
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),   # log_pi_comp
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # xpx
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # var_eff
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # log_pi
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # log_pi_comp
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # inv_vare
             pl.BlockSpec(memory_space=pl.ANY),                       # us
             pl.BlockSpec(memory_space=pl.ANY),                       # zs
             pl.BlockSpec(memory_space=pl.ANY),                       # grams
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),   # alpha
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),   # beta
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),   # delta
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),   # rhs
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # alpha
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # beta
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # delta
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # rhs
         ],
         out_specs=[
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, LANES), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, nblocks), dtype),
@@ -172,8 +187,8 @@ def abc_inner_rounds_pallas(grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
             jax.ShapeDtypeStruct((b, nblocks), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, b, LANES), dtype),        # gram double buffer
-            pltpu.VMEM((2, 2, b, LANES), dtype),     # (slot, u/z, b, lanes)
+            pltpu.VMEM((2, b, lanes), dtype),        # gram double buffer
+            pltpu.VMEM((2, 2, b, lanes), dtype),     # (slot, u/z, b, lanes)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

@@ -74,7 +74,7 @@ def test_annotation_validation():
     geno_df, pheno, bv, anno = _anno_sim(n=50, p=40, n_qtl=5, seed=33)
     with pytest.raises(ValueError, match='method="BayesC" or method="BayesR"'):
         get_genotypes(geno_df, method="RR-BLUP", annotations=anno, name="geno")
-    with pytest.raises(ValueError, match="one row per raw marker"):
+    with pytest.raises(ValueError, match="must match the number of raw markers"):
         get_genotypes(geno_df, method="BayesC", annotations=anno[:10], name="geno")
 
 
