@@ -220,9 +220,16 @@ def sweep_blocks_abc_pallas_packed(pm, alpha, beta, delta, ycorr, rinv, vare,
     Identical math + draws to sweep_blocks_abc / sweep_blocks_abc_packed."""
     from jwas_tpu.ops import markers as mk
     from jwas_tpu.ops.packed import packed_matvec, packed_rhs
+    from jwas_tpu.ops.pallas_packed_gemv import (
+        packed_matvec_fused,
+        packed_rhs_fused,
+    )
 
     b, _, nblocks = pm.grams.shape
     dtype = ycorr.dtype
+    # decode-fused Pallas GEMVs need store order == observation order and a
+    # device-resident store; otherwise fall back to the XLA tiled GEMVs
+    use_fused = pm.row_perm is None and not host_store
     var_eff_b = mk._to_jmajor(
         jnp.broadcast_to(jnp.asarray(var_eff, dtype), (nblocks * b,)), nblocks, b
     )
@@ -234,9 +241,12 @@ def sweep_blocks_abc_pallas_packed(pm, alpha, beta, delta, ycorr, rinv, vare,
     def round_fn(stt, kr, reps):
         alpha_b, beta_b, delta_b, ycorr = stt
         w = ycorr if rinv is None else rinv * ycorr
-        rhs0 = mk._to_jmajor(
-            packed_rhs(pm, w, chunk=chunk, host_store=host_store), nblocks, b
-        )
+        if use_fused:
+            rhs_flat = packed_rhs_fused(pm.packed, pm.means, w,
+                                        interpret=interpret).astype(dtype)
+        else:
+            rhs_flat = packed_rhs(pm, w, chunk=chunk, host_store=host_store)
+        rhs0 = mk._to_jmajor(rhs_flat, nblocks, b)
         ku, kz = jax.random.split(kr)
         us = jax.random.uniform(ku, (reps * b, nblocks), dtype=dtype)
         zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
@@ -246,10 +256,17 @@ def sweep_blocks_abc_pallas_packed(pm, alpha, beta, delta, ycorr, rinv, vare,
             alpha_b, beta_b, delta_b, rhs0, us, zs, 1.0 / vare,
             nreps=reps, interpret=interpret,
         )
-        ycorr = ycorr + packed_matvec(
-            pm, mk._from_jmajor(alpha_start - alpha_b), chunk=chunk,
-            n_obs=ycorr.shape[0], host_store=host_store,
-        )
+        d_alpha = mk._from_jmajor(alpha_start - alpha_b)
+        if use_fused:
+            ycorr = ycorr + packed_matvec_fused(
+                pm.packed, pm.means, d_alpha, n_obs=ycorr.shape[0],
+                interpret=interpret,
+            ).astype(dtype)
+        else:
+            ycorr = ycorr + packed_matvec(
+                pm, d_alpha, chunk=chunk,
+                n_obs=ycorr.shape[0], host_store=host_store,
+            )
         return (alpha_b, beta_b, delta_b, ycorr)
 
     alpha_b, beta_b, delta_b, ycorr = mk._sync_rounds(
