@@ -39,6 +39,9 @@ from jwas_tpu.ops.rrm import generate_full_phi
 from jwas_tpu.analysis.diagnostics import PSRF, traceplot, LOOCV, lsmeans, getEBV
 from jwas_tpu.io.packed import Packed2BitStore, prepare_packed_genotypes
 
+# reference-compatible name (prepare_streaming_genotypes, JWAS.jl:61-70)
+prepare_streaming_genotypes = prepare_packed_genotypes
+
 __all__ = [
     "Pedigree",
     "get_pedigree",
@@ -66,6 +69,7 @@ __all__ = [
     "getEBV",
     "Packed2BitStore",
     "prepare_packed_genotypes",
+    "prepare_streaming_genotypes",
 ]
 
 __version__ = "0.1.0"
