@@ -1,0 +1,112 @@
+"""Multi-host layer tests on the virtual 8-device CPU mesh.
+
+Single-process stand-in for a pod slice: `jax.make_array_from_callback`
+invokes the per-shard loader exactly once per addressable shard, so the
+per-host byte-range loading path is the same code that runs multi-host.
+Correctness bar: sharded load + shard_map Gram precompute must match the
+single-device `build_packed_markers` bit-for-bit.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jwas_tpu.io.packed import prepare_packed_genotypes
+from jwas_tpu.ops.packed import build_packed_markers, packed_matvec
+from jwas_tpu.parallel.distributed import (
+    build_packed_markers_multihost,
+    initialize_multihost,
+    load_packed_global,
+)
+from jwas_tpu.parallel.mesh import make_mesh
+
+N, PN = 37, 512
+BLOCK = 16
+
+
+@pytest.fixture(scope="module")
+def saved_store(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 3, size=(N, PN)).astype(np.float64)
+    codes[rng.random((N, PN)) < 0.05] = 9.0  # missing
+    df = pd.DataFrame(
+        codes, columns=[f"m{j}" for j in range(PN)],
+        index=[f"ind{i}" for i in range(N)],
+    )
+    df.insert(0, "ID", df.index)
+    path = str(tmp_path_factory.mktemp("dist") / "geno")
+    store = prepare_packed_genotypes(df, save_path=path)
+    return path, store
+
+
+def test_initialize_multihost_noop_single_process(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert initialize_multihost() is False
+
+
+def test_load_packed_global_values_and_padding(saved_store):
+    path, store = saved_store
+    mesh = make_mesh(n_chains=1, n_marker_shards=8)
+    packed, means, valid, n, p = load_packed_global(path, mesh, BLOCK)
+    assert (n, p) == (N, PN)
+    p_pad = packed.shape[0]
+    assert p_pad % (BLOCK * 8) == 0 and p_pad >= PN
+    got = np.asarray(packed)
+    np.testing.assert_array_equal(got[:PN], store.packed)
+    assert not got[PN:].any()
+    np.testing.assert_allclose(
+        np.asarray(means)[:PN], store.means.astype(np.float32), rtol=1e-6
+    )
+    assert np.asarray(valid).sum() == PN
+    # marker axis really is sharded 8 ways
+    assert len(packed.sharding.device_set) == 8
+    shard_rows = {s.index[0].stop - s.index[0].start
+                  for s in packed.addressable_shards}
+    assert shard_rows == {p_pad // 8}
+
+
+def test_sharded_grams_match_single_device(saved_store):
+    path, store = saved_store
+    mesh = make_mesh(n_chains=2, n_marker_shards=4)
+    pm_sh, n, p = build_packed_markers_multihost(path, mesh, BLOCK)
+    pm_ref = build_packed_markers(store, store.obs_ids, BLOCK)
+    # identical p_pad here by construction (PN divides 4*BLOCK evenly)
+    assert pm_sh.grams.shape == pm_ref.grams.shape
+    np.testing.assert_allclose(
+        np.asarray(pm_sh.grams), np.asarray(pm_ref.grams), rtol=2e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pm_sh.xpx), np.asarray(pm_ref.xpx), rtol=2e-5, atol=1e-4
+    )
+
+
+def test_sharded_matvec_matches_dense_decode(saved_store):
+    path, store = saved_store
+    mesh = make_mesh(n_chains=1, n_marker_shards=8)
+    pm, n, p = build_packed_markers_multihost(path, mesh, BLOCK)
+    p_pad = pm.packed.shape[0]
+    rng = np.random.default_rng(3)
+    v = np.zeros(p_pad, np.float32)
+    v[:p] = rng.normal(size=p).astype(np.float32)
+    got = np.asarray(packed_matvec(pm, jnp.asarray(v), n_obs=n))
+    X = store.decode(range(p))  # centered dense (n, p)
+    np.testing.assert_allclose(got, X @ v[:p], rtol=2e-4, atol=2e-3)
+
+
+def test_sharded_grams_with_weights(saved_store):
+    path, store = saved_store
+    mesh = make_mesh(n_chains=1, n_marker_shards=8)
+    rinv = np.linspace(0.5, 2.0, N).astype(np.float32)
+    from jwas_tpu.parallel.distributed import sharded_packed_markers
+
+    packed, means, valid, n, p = load_packed_global(path, mesh, BLOCK)
+    pm_sh = sharded_packed_markers(
+        packed, means, valid, n, BLOCK, mesh, rinv=rinv
+    )
+    pm_ref = build_packed_markers(store, store.obs_ids, BLOCK, rinv=rinv)
+    np.testing.assert_allclose(
+        np.asarray(pm_sh.grams), np.asarray(pm_ref.grams), rtol=2e-5, atol=1e-4
+    )
