@@ -578,11 +578,18 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         else:
             bs = int(opts.fast_blocks)
         bs = max(8, ((bs + 7) // 8) * 8)
+        mesh = opts.mesh
+        marker_sharded = (
+            mesh is not None
+            and "marker" in tuple(getattr(mesh, "axis_names", ()))
+            and int(mesh.shape["marker"]) > 1
+        )
         packed_pm = build_packed_markers(
             store, ws.obs_ids, bs,
             rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
+            mesh=mesh if marker_sharded else None,
         )
-        host_offload = _resolve_host_offload(
+        host_offload = not marker_sharded and _resolve_host_offload(
             opts.host_offload_genotypes, packed_pm.packed
         )
         if host_offload:

@@ -286,13 +286,20 @@ def packed_markers_from_arrays(packed, means, valid, row_perm, n_obs: int,
 
 
 def build_packed_markers(store, obs_ids, block_size: int, rinv=None,
-                         dtype=jnp.float32, gram_chunk: int = 8) -> PackedMarkers:
+                         dtype=jnp.float32, gram_chunk: int = 8,
+                         mesh=None, marker_axis: str = "marker") -> PackedMarkers:
     """Stage a host Packed2BitStore on device and precompute the fast-blocks
     Gram tiles from decoded tiles (GibbsMats analogue, tools4genotypes.jl:237-275).
 
     obs_ids selects/permutes store rows to the phenotype order (row gather on
     device after decode — packed bits are never repacked). An identity
     permutation is detected and elided.
+
+    When `mesh` has a `marker_axis` with extent > 1, the packed store is
+    marker-sharded across the mesh and the Gram precompute runs as a
+    shard_map (each device decodes + Grams only its local blocks —
+    parallel.distributed.sharded_packed_markers); every returned leaf is a
+    global sharded array laid out as `st_data_shardings` expects.
     """
     import numpy as np
 
@@ -304,10 +311,14 @@ def build_packed_markers(store, obs_ids, block_size: int, rinv=None,
     if len(perm) == store.n_obs and (perm == np.arange(store.n_obs)).all():
         perm = None
 
+    n_shards = 0
+    if mesh is not None and marker_axis in tuple(getattr(mesh, "axis_names", ())):
+        n_shards = int(mesh.shape[marker_axis])
+
     p = store.n_markers
     b = block_size
-    nblocks = -(-p // b)
-    p_pad = nblocks * b
+    align = b * n_shards if n_shards > 1 else b
+    p_pad = -(-p // align) * align
     packed_np = store.packed
     if p_pad != p:
         pad = np.zeros((p_pad - p, store.bytes_per_marker), dtype=np.uint8)
@@ -316,6 +327,21 @@ def build_packed_markers(store, obs_ids, block_size: int, rinv=None,
     means_np[:p] = store.means
     valid_np = np.zeros(p_pad, dtype=np.float32)
     valid_np[:p] = 1.0
+
+    if n_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from jwas_tpu.parallel.distributed import sharded_packed_markers
+
+        packed_g = jax.device_put(
+            packed_np, NamedSharding(mesh, P(marker_axis, None))
+        )
+        means_g = jax.device_put(means_np, NamedSharding(mesh, P(marker_axis)))
+        valid_g = jax.device_put(valid_np, NamedSharding(mesh, P(marker_axis)))
+        return sharded_packed_markers(
+            packed_g, means_g, valid_g, len(obs_ids), b, mesh, marker_axis,
+            row_perm=perm, rinv=rinv, dtype=dtype, gram_chunk=gram_chunk,
+        )
 
     return packed_markers_from_arrays(
         packed_np, means_np, valid_np, perm, len(obs_ids), b,

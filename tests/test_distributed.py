@@ -110,3 +110,21 @@ def test_sharded_grams_with_weights(saved_store):
     np.testing.assert_allclose(
         np.asarray(pm_sh.grams), np.asarray(pm_ref.grams), rtol=2e-5, atol=1e-4
     )
+
+
+def test_runmcmc_packed_mesh_end_to_end():
+    """Public API: storage='2bit' + a (chain, marker) mesh runs the shard_map
+    Gram precompute and a marker-sharded packed chain end-to-end."""
+    from jwas_tpu import build_model, get_genotypes, runMCMC
+    from jwas_tpu.io.datasets import simulate_genomic_data
+
+    sim = simulate_genomic_data(n=200, p=128, n_qtl=10, h2=0.5, seed=11)
+    geno = get_genotypes(sim["genotypes"], method="BayesC", name="geno",
+                         storage="2bit", quality_control=False)
+    model = build_model("y = intercept + geno", genotypes=geno)
+    mesh = make_mesh(n_chains=2, n_marker_shards=4)
+    out = runMCMC(model, sim["phenotypes"], chain_length=480, burnin=96,
+                  seed=5, n_chains=2, mesh=mesh, fast_blocks=8,
+                  output_samples_frequency=8, output_folder="")
+    acc = np.corrcoef(out["EBV_y"].EBV, sim["true_bv"])[0, 1]
+    assert acc > 0.8, f"mesh+packed EBV accuracy {acc:.3f}"
