@@ -219,10 +219,24 @@ def main():
     run_window = make_run_window(cfg)
     accum = _init_accum(cfg, data, state)
 
-    # warm-up / compile with the same static n_iters as the timed call
+    # warm-up / compile with the same static n_iters as the timed call;
+    # if the Pallas path fails to compile on this hardware, fall back to the
+    # XLA sweep rather than losing the benchmark
     t_c = time.perf_counter()
-    state, accum, _ = run_window(state, data, accum, n_outer, accumulate=True)
-    _sync(state.vare)
+    try:
+        state, accum, _ = run_window(state, data, accum, n_outer, accumulate=True)
+        _sync(state.vare)
+    except Exception as e:
+        if not cfg.use_pallas:
+            raise
+        print(f"# pallas compile failed ({type(e).__name__}); falling back "
+              f"to the XLA sweep", file=sys.stderr)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, use_pallas=False)
+        run_window = make_run_window(cfg)
+        state, accum, _ = run_window(state, data, accum, n_outer, accumulate=True)
+        _sync(state.vare)
     print(f"# compile+warmup: {time.perf_counter() - t_c:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()

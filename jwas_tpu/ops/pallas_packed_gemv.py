@@ -40,17 +40,24 @@ def _strided_w(w, bpm: int):
 
 
 def _rhs_kernel(packed_ref, means_ref, wst_ref, wsum_ref, out_ref):
-    """One k-tile: out_k = X_k' w, decode fused (see module docs)."""
+    """One k-tile: out_k = X_k' w, decode fused (see module docs).
+
+    All values stay 2-D (sublane, lane): Mosaic rejects 1-D vector layouts
+    in reductions ("Not implemented: Offset change" on v5e), so lane
+    reductions keepdims to (K, 1) and the means column is used as (K, 1).
+    """
     tile = packed_ref[:, :].astype(jnp.int32)
-    acc_cw = jnp.zeros((tile.shape[0],), jnp.float32)
-    acc_miss = jnp.zeros((tile.shape[0],), jnp.float32)
+    acc_cw = jnp.zeros((tile.shape[0], 1), jnp.float32)
+    acc_miss = jnp.zeros((tile.shape[0], 1), jnp.float32)
     for s in range(4):
         codes = ((tile >> (2 * s)) & 3).astype(jnp.float32)   # (K, bpm)
-        ws = wst_ref[s, :][None, :]                            # (1, bpm)
-        acc_cw += jnp.sum(codes * ws, axis=1)
-        acc_miss += jnp.sum(jnp.where(codes == 3.0, ws, 0.0), axis=1)
-    m = means_ref[:, 0]
-    out_ref[:, 0] = acc_cw + (m - 3.0) * acc_miss - m * wsum_ref[0]
+        ws = wst_ref[s:s + 1, :]                               # (1, bpm)
+        acc_cw += jnp.sum(codes * ws, axis=1, keepdims=True)
+        acc_miss += jnp.sum(
+            jnp.where(codes == 3.0, ws, 0.0), axis=1, keepdims=True
+        )
+    m = means_ref[:, :]                                        # (K, 1)
+    out_ref[:, :] = acc_cw + (m - 3.0) * acc_miss - m * wsum_ref[0]
 
 
 @partial(jax.jit, static_argnames=("tile_k", "interpret"))
@@ -84,7 +91,12 @@ def packed_rhs_fused(packed, means, w, tile_k: int = 256,
 
 
 def _matvec_kernel(packed_ref, means_ref, v_ref, out_ref):
-    """One k-tile: strided partials of X' v accumulated across grid cells."""
+    """One k-tile: strided partials of X v accumulated across grid cells.
+
+    2-D only (see _rhs_kernel): sublane reductions keepdims to (1, bpm) and
+    the means/v columns stay (K, 1). The per-observation constant -m'v is
+    NOT applied here — summed over grid tiles it telescopes to the full
+    means @ v, which the caller subtracts with one XLA dot."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -92,18 +104,15 @@ def _matvec_kernel(packed_ref, means_ref, v_ref, out_ref):
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
     tile = packed_ref[:, :].astype(jnp.int32)
-    m = means_ref[:, 0]
-    v = v_ref[:, 0]
-    mv = jnp.sum(m * v)                                       # scalar
-    vcol = v[:, None]
-    mcol = ((m - 3.0) * v)[:, None]
+    v2 = v_ref[:, :]                                          # (K, 1)
+    mcol = (means_ref[:, :] - 3.0) * v2                       # (K, 1)
     for s in range(4):
         codes = ((tile >> (2 * s)) & 3).astype(jnp.float32)   # (K, bpm)
-        part = jnp.sum(codes * vcol, axis=0)                   # (bpm,)
-        part += jnp.sum(jnp.where(codes == 3.0, mcol, 0.0), axis=0)
-        out_ref[s, :] += part - mv
-    # the -mv term is a per-observation constant; it applies to every (s,
-    # column) including sub-byte padding columns, which the caller slices off
+        part = jnp.sum(codes * v2, axis=0, keepdims=True)     # (1, bpm)
+        part += jnp.sum(
+            jnp.where(codes == 3.0, mcol, 0.0), axis=0, keepdims=True
+        )
+        out_ref[s:s + 1, :] += part
 
 
 @partial(jax.jit, static_argnames=("n_obs", "tile_k", "interpret"))
@@ -130,4 +139,10 @@ def packed_matvec_fused(packed, means, v, n_obs: int, tile_k: int = 256,
         out_shape=jax.ShapeDtypeStruct((4, bpm), jnp.float32),
         interpret=interpret,
     )(packed, means.astype(jnp.float32)[:, None], v.astype(jnp.float32)[:, None])
+    # the -m'v per-observation constant, telescoped out of the kernel; it
+    # applies to every (s, column) including sub-byte padding columns,
+    # which the slice below drops
+    out_st = out_st - jnp.dot(
+        means.astype(jnp.float32), v.astype(jnp.float32)
+    )
     return out_st.T.reshape(-1)[:n_obs]
