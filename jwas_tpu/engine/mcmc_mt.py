@@ -940,9 +940,123 @@ def _apply_update_priors_mt(cfg, data: MTData, accum: MTAccum):
     return data._replace(**fields)
 
 
+def _run_mt_multichain(ws, model, cfg, data, state, opts):
+    """Parallel MT chains, vmapped over a leading chain axis (the MT
+    counterpart of engine.mcmc._run_multichain; the reference has no
+    built-in multi-chain support, convergence_diagnosis.jl:31-57).
+
+    Per-chain Welford moments are pooled (equal-length chains, exact);
+    chain-0 draws feed the sample-file stream; PSRF is computed per trait
+    for h², genetic variance, and residual variance. When opts.mesh has a
+    'chain'/'chains' axis, chains shard across it."""
+    K = int(opts.n_chains)
+    seed = opts.seed if opts.seed is not None else 0
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seed, seed + K))
+
+    def stack(x):
+        return jnp.broadcast_to(x, (K,) + x.shape)
+
+    states = jax.tree.map(stack, state)._replace(key=keys)
+    accum0 = _init_mt_accum(cfg, data, state)
+    accums = jax.tree.map(stack, accum0)
+
+    mesh = opts.mesh
+    if mesh is not None:
+        axes = tuple(getattr(mesh, "axis_names", ()))
+        chain_ax = next((a for a in ("chain", "chains") if a in axes), None)
+        if chain_ax is not None and K % int(mesh.shape[chain_ax]) == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def put_chain(x):
+                if x is None or not hasattr(x, "ndim") or x.ndim == 0:
+                    return x
+                spec = P(chain_ax, *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            states = jax.tree.map(put_chain, states)
+            accums = jax.tree.map(put_chain, accums)
+
+    rw = make_mt_run_window(cfg)
+    mc = jax.vmap(rw, in_axes=(0, None, 0, None, None))
+
+    nreps = cfg.nreps
+    n_outer = max(1, opts.chain_length // nreps)
+    burnin_outer = opts.burnin // nreps
+    osf = opts.output_samples_frequency
+    if osf <= 0:
+        osf = max(1, opts.chain_length // 1000)
+    thin_outer = max(1, osf // nreps)
+    n_saved = max(1, (n_outer - burnin_outer) // thin_outer)
+
+    from jwas_tpu.engine.progress import ProgressPrinter
+    from jwas_tpu.engine.samples_io import MTSampleStream
+
+    stream = MTSampleStream(ws, cfg, opts, append=False)
+    progress = ProgressPrinter(opts.printout_frequency, opts.chain_length,
+                               n_traits=cfg.n_traits)
+
+    if burnin_outer > 0:
+        states, accums, _ = mc(states, data, accums, burnin_outer, False)
+
+    samples = {"R": [], "varg": [], "pi": [], "genvar": [], "h2": [],
+               "lam": [], "alpha": []}
+    chain_track = {"h2": [], "genvar": [], "R": []}
+    for w in range(n_saved):
+        states, accums, out = mc(states, data, accums, thin_outer, True)
+        out0 = jax.tree.map(lambda x: x[0], out)
+        for k_, v in (("R", out.R), ("varg", out.varg), ("pi", out.pi),
+                      ("genvar", out.genvar), ("h2", out.h2)):
+            samples[k_].append(np.asarray(v).mean(axis=0))
+        if cfg.sem_edges:
+            samples["lam"].append(np.asarray(out0.lam))
+            samples["alpha"].append(
+                np.asarray(states.alpha[0])[:, : cfg.n_markers]
+            )
+        chain_track["h2"].append(np.asarray(out.h2))        # (K, t)
+        chain_track["genvar"].append(np.asarray(out.genvar))  # (K, t, t)
+        chain_track["R"].append(np.asarray(out.R))
+        state0 = jax.tree.map(lambda x: x[0], states)
+        stream.write_sample(state0, out0)
+        progress.update((burnin_outer + (w + 1) * thin_outer) * nreps,
+                        vare=out0.R, varg=out0.varg, pi=out0.pi)
+    stream.close()
+
+    pooled = jax.tree.map(lambda x: x.mean(axis=0), accums)
+    from jwas_tpu.engine.output_mt import build_mt_results
+
+    results = build_mt_results(ws, cfg, pooled, samples, opts)
+    if stream.enabled and ws.geno is not None and stream.write_markers:
+        results["_marker_sample_files"] = {
+            trait: stream.writer.path(f"marker_effects_{ws.geno.name}_{trait}")
+            for trait in model.lhs_vec
+        }
+    if n_saved > 1:
+        from jwas_tpu.analysis.diagnostics import PSRF as _psrf
+
+        rows = []
+        t = cfg.n_traits
+        for name, arr, diag in (("h2", np.stack(chain_track["h2"]), False),
+                                ("genvar", np.stack(chain_track["genvar"]), True),
+                                ("R", np.stack(chain_track["R"]), True)):
+            for ti in range(t):
+                col = arr[:, :, ti, ti] if diag else arr[:, :, ti]
+                if np.allclose(col.std(axis=0), 0.0):
+                    continue
+                try:
+                    rows.append((f"{name}[{ti}]",
+                                 float(_psrf(*[col[:, c] for c in range(K)]))))
+                except Exception:
+                    continue
+        results["PSRF"] = pd.DataFrame(rows, columns=["parameter", "PSRF"])
+    return results
+
+
 def run_mcmc_mt(model, df: pd.DataFrame, opts, dtype):
     ws = prepare_workspace(model, df, opts)
     cfg, data, state = build_mt_data_and_state(ws, opts, dtype)
+
+    if int(opts.n_chains or 1) > 1:
+        return _run_mt_multichain(ws, model, cfg, data, state, opts)
 
     nreps = cfg.nreps
     n_outer = max(1, opts.chain_length // nreps)
