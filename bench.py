@@ -84,6 +84,7 @@ def _build_packed(jax, jnp, n, p, block, dtype):
     from jwas_tpu.ops.packed import packed_markers_from_arrays, packed_matvec
 
     key = jax.random.PRNGKey(0)
+    p_pad = -(-p // block) * block          # tail markers are valid=0 padding
     n_pad = -(-n // 4) * 4
     bpm = n_pad // 4
 
@@ -106,16 +107,16 @@ def _build_packed(jax, jnp, n, p, block, dtype):
         return packed
 
     kf = jax.random.fold_in(key, 1)
-    freqs = jax.random.uniform(kf, (p,), minval=0.1, maxval=0.9)
+    freqs = jax.random.uniform(kf, (p_pad,), minval=0.1, maxval=0.9)
     chunk = 32_768
     parts = []
-    for c0 in range(0, p, chunk):
-        c1 = min(c0 + chunk, p)
+    for c0 in range(0, p_pad, chunk):
+        c1 = min(c0 + chunk, p_pad)
         parts.append(gen_packed_chunk(jax.random.fold_in(key, c0), freqs[c0:c1]))
     packed = jnp.concatenate(parts, axis=0)
     del parts
     means = 2.0 * freqs  # theoretical column means; consistent across decode
-    valid = jnp.ones((p,), dtype)
+    valid = (jnp.arange(p_pad) < p).astype(dtype)
 
     t0 = time.perf_counter()
     pm = packed_markers_from_arrays(
@@ -126,8 +127,8 @@ def _build_packed(jax, jnp, n, p, block, dtype):
     print(f"# gram precompute: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     ke = jax.random.fold_in(key, 2)
-    beta_true = jax.random.normal(ke, (p,)) * jnp.where(
-        jax.random.uniform(ke, (p,)) < 0.001, 1.0, 0.0
+    beta_true = valid * jax.random.normal(ke, (p_pad,)) * jnp.where(
+        jax.random.uniform(ke, (p_pad,)) < 0.001, 1.0, 0.0
     )
     y = packed_matvec(pm, beta_true.astype(dtype), n_obs=n)
     y = y + jax.random.normal(ke, (n,)).astype(dtype)
@@ -220,14 +221,22 @@ def main():
     accum = _init_accum(cfg, data, state)
 
     # warm-up / compile with the same static n_iters as the timed call;
-    # if the Pallas path fails to compile on this hardware, fall back to the
-    # XLA sweep rather than losing the benchmark
+    # if the Pallas path fails to COMPILE on this hardware, fall back to the
+    # XLA sweep rather than losing the benchmark. Runtime errors (OOM, bad
+    # BENCH_* env) re-raise; the fallback restores the pre-warmup state so the
+    # retry never resumes from arrays poisoned by the failed dispatch.
     t_c = time.perf_counter()
+    state_snap, accum_snap = state, accum
     try:
         state, accum, _ = run_window(state, data, accum, n_outer, accumulate=True)
         _sync(state.vare)
     except Exception as e:
-        if not cfg.use_pallas:
+        msg = f"{type(e).__name__}: {e}"
+        is_compile_err = any(
+            m in msg for m in ("Mosaic", "mosaic", "lowering", "Lowering",
+                               "UNIMPLEMENTED", "Unsupported", "pallas")
+        )
+        if not cfg.use_pallas or not is_compile_err:
             raise
         print(f"# pallas compile failed ({type(e).__name__}); falling back "
               f"to the XLA sweep", file=sys.stderr)
@@ -235,6 +244,7 @@ def main():
 
         cfg = dataclasses.replace(cfg, use_pallas=False)
         run_window = make_run_window(cfg)
+        state, accum = state_snap, accum_snap
         state, accum, _ = run_window(state, data, accum, n_outer, accumulate=True)
         _sync(state.vare)
     print(f"# compile+warmup: {time.perf_counter() - t_c:.1f}s", file=sys.stderr)

@@ -589,6 +589,14 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
             rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
             mesh=mesh if marker_sharded else None,
         )
+        if marker_sharded and opts.host_offload_genotypes is True:
+            import warnings
+
+            warnings.warn(
+                "host_offload_genotypes=True is ignored on a marker-sharded "
+                "mesh: each shard holds only its local packed slice on "
+                "device. Drop the 'marker' mesh axis to stream from host."
+            )
         host_offload = not marker_sharded and _resolve_host_offload(
             opts.host_offload_genotypes, packed_pm.packed
         )
@@ -884,6 +892,27 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     return cfg, data, state
 
 
+def _warn_multichain_unsupported(opts):
+    """The multichain drivers do not implement prior updating or
+    checkpointing yet; a user combining them with n_chains>1 must hear about
+    it rather than get silent no-effect (resume is vetoed by the admission
+    matrix)."""
+    import warnings
+
+    ignored = []
+    if int(opts.update_priors_frequency or 0) > 0:
+        ignored.append("update_priors_frequency")
+    if opts.checkpoint_frequency and int(opts.checkpoint_frequency) > 0:
+        ignored.append("checkpoint_frequency")
+    if opts.checkpoint_folder:
+        ignored.append("checkpoint_folder")
+    if ignored:
+        warnings.warn(
+            f"n_chains>1 does not support {', '.join(ignored)} yet; "
+            "these options are ignored for this run."
+        )
+
+
 def _run_multichain(ws, cfg, data, state, opts):
     """Parallel MCMC chains, vmapped over a leading chain axis.
 
@@ -894,6 +923,7 @@ def _run_multichain(ws, cfg, data, state, opts):
     dict gains a PSRF table computed from the per-chain samples.
     """
     K = int(opts.n_chains)
+    _warn_multichain_unsupported(opts)
     seed = opts.seed if opts.seed is not None else 0
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seed, seed + K))
 
@@ -940,11 +970,14 @@ def _run_multichain(ws, cfg, data, state, opts):
                            ("genvar", "genvar"), ("varg", "varg_mean")):
             chain_samples[k_].append(np.asarray(getattr(out, field_)))  # (K,)
         chain_pi.append(np.asarray(out.pi_summary))                     # (K, 4)
-        samples["vare"].append(np.asarray(out.vare).mean(axis=0))
-        samples["varg"].append(np.asarray(out.varg_mean).mean(axis=0))
-        samples["pi"].append(np.asarray(out.pi_summary).mean(axis=0))
-        samples["genvar"].append(np.asarray(out.genvar).mean(axis=0))
-        samples["h2"].append(np.asarray(out.h2).mean(axis=0))
+        # per-chain draws enter the sample list individually so posterior SDs
+        # pool over the flattened (sample, chain) axes — appending the chain
+        # MEAN would shrink SDs ~sqrt(K) vs single-chain semantics
+        samples["vare"].extend(np.asarray(out.vare))
+        samples["varg"].extend(np.asarray(out.varg_mean))
+        samples["pi"].extend(np.asarray(out.pi_summary))
+        samples["genvar"].extend(np.asarray(out.genvar))
+        samples["h2"].extend(np.asarray(out.h2))
 
     # equal-length chains: pooling the per-chain Welford moments is exact
     pooled = jax.tree.map(lambda x: x.mean(axis=0), accums)
@@ -992,6 +1025,13 @@ def runMCMC(model: Model, df: pd.DataFrame, **kwargs):
     from jwas_tpu.engine.validation import validate_args
 
     validate_args(model, opts)
+
+    # multi-host bring-up: a no-op unless the environment indicates a
+    # multi-process launch (JAX_COORDINATOR_ADDRESS / TPU pod markers), so
+    # single-host runs never pay it (parallel/distributed.py)
+    from jwas_tpu.parallel.distributed import initialize_multihost
+
+    initialize_multihost()
 
     # capture the run configuration on the model (MCMCinfo, JWAS.jl:266-271)
     # and print the model + MCMC summary unless silenced

@@ -950,6 +950,9 @@ def _run_mt_multichain(ws, model, cfg, data, state, opts):
     for h², genetic variance, and residual variance. When opts.mesh has a
     'chain'/'chains' axis, chains shard across it."""
     K = int(opts.n_chains)
+    from jwas_tpu.engine.mcmc import _warn_multichain_unsupported
+
+    _warn_multichain_unsupported(opts)
     seed = opts.seed if opts.seed is not None else 0
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seed, seed + K))
 
@@ -1004,9 +1007,14 @@ def _run_mt_multichain(ws, model, cfg, data, state, opts):
     for w in range(n_saved):
         states, accums, out = mc(states, data, accums, thin_outer, True)
         out0 = jax.tree.map(lambda x: x[0], out)
+        # per-chain draws enter the sample list individually so posterior SDs
+        # are taken over the flattened (sample, chain) axes — appending the
+        # chain MEAN here would shrink reported SDs by ~sqrt(n_chains) vs the
+        # single-chain (and reference) semantics; estimates are unchanged
+        # because windows are equal-length across chains
         for k_, v in (("R", out.R), ("varg", out.varg), ("pi", out.pi),
                       ("genvar", out.genvar), ("h2", out.h2)):
-            samples[k_].append(np.asarray(v).mean(axis=0))
+            samples[k_].extend(np.asarray(v))
         if cfg.sem_edges:
             samples["lam"].append(np.asarray(out0.lam))
             samples["alpha"].append(

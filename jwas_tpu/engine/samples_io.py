@@ -64,6 +64,15 @@ class MCMCSampleWriter:
             ",".join(repr(float(v)) for v in arr) + "\n"
         )
 
+    def write_rows(self, var: str, matrix):
+        """Write a 2-D array as one text row per matrix row, mirroring the
+        reference's writedlm of a matrix (output.jl:471-475: the multi-trait
+        G.val / BayesB hcat-of-blocks land as ntraits rows per sample)."""
+        mat = np.atleast_2d(np.asarray(matrix))
+        f = self._files[var]
+        for row in mat:
+            f.write(",".join(repr(float(v)) for v in row) + "\n")
+
     def close(self):
         for f in self._files.values():
             f.close()
@@ -162,9 +171,16 @@ class STSampleStream:
             if self.write_markers:
                 w.write(f"marker_effects_{g.name}_{self.trait}",
                         np.asarray(state.alpha)[:p])
+            # BayesA/B: the FULL per-marker variance vector, matching the
+            # reference writer's row shape (output.jl:471-475); gated by the
+            # same size guard as the marker-effect file (the mean is the
+            # documented fallback above MARKER_FILE_MAX_P markers)
             varg = np.asarray(state.varg)
-            w.write(f"marker_effects_variances_{g.name}",
-                    varg[:p].mean() if varg.ndim else varg)
+            if varg.ndim and not self.write_markers:
+                varg = varg[:p].mean()
+            elif varg.ndim:
+                varg = varg[:p]
+            w.write(f"marker_effects_variances_{g.name}", varg)
             pi = np.asarray(state.pi)
             if pi.ndim == 2:                 # annotated BayesR per-marker priors
                 pi = pi[:p].mean(axis=0)
@@ -279,8 +295,14 @@ class MTSampleStream:
                     w.write(f"marker_effects_{g.name}_{trait}", alpha[ti, :p])
             varg = np.asarray(state.varg)
             if varg.ndim == 3:               # per-locus BayesB covariances
-                varg = varg[:p].mean(axis=0)
-            w.write(f"marker_effects_variances_{g.name}", varg)
+                if self.write_markers:
+                    # hcat of the p (t,t) blocks -> t rows of p*t values,
+                    # the reference BayesB writer's shape (output.jl:471-473)
+                    t = varg.shape[1]
+                    varg = varg[:p].transpose(1, 0, 2).reshape(t, p * t)
+                else:                        # size-guard fallback: mean block
+                    varg = varg[:p].mean(axis=0)
+            w.write_rows(f"marker_effects_variances_{g.name}", varg)
             w.write(f"pi_{g.name}", state.pi)
         if self.ebv:
             ebv = np.asarray(out.ebv)

@@ -178,11 +178,11 @@ def validate_args(model, opts) -> None:
         raise ValueError("Please build your model again using build_model().")
     ctx = _ctx(model, opts)
     for rule in RULES:
-        try:
-            bad = bool(rule.check(ctx))
-        except Exception:
-            continue   # a predicate that cannot evaluate cannot veto
-        if bad:
+        # predicates are total (every rule guards its own preconditions);
+        # a raising predicate is a bug in the matrix and must surface, not
+        # silently stop vetoing (tests/test_validation.py exercises every
+        # rule both ways)
+        if bool(rule.check(ctx)):
             raise ValueError(rule.message)
 
     # censored traits need their bound columns; checked against the model only

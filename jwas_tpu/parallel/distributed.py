@@ -42,17 +42,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _initialized = False
 
 
+def _pod_env_markers_present() -> bool:
+    """True when the environment indicates a multi-host TPU pod launch even
+    without JAX_COORDINATOR_ADDRESS — jax.distributed.initialize() then
+    performs its cloud-TPU metadata auto-detection. TPU_WORKER_HOSTNAMES
+    counts only when it lists >= 2 hosts (single-host images set it to
+    'localhost')."""
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) >= 2:
+        return True
+    return any(
+        os.environ.get(k)
+        for k in ("MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID")
+    )
+
+
 def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     local_device_ids=None,
+    force: bool = False,
 ) -> bool:
     """Bring up `jax.distributed` for a multi-host run.
 
     Configuration comes from the arguments or, when omitted, from the
-    standard env vars JAX already honors (JAX_COORDINATOR_ADDRESS /
-    cloud-TPU metadata). Returns False (no-op) when nothing indicates a
+    standard env vars JAX already honors (JAX_COORDINATOR_ADDRESS) or the
+    multi-host TPU pod markers (TPU_WORKER_HOSTNAMES / MEGASCALE_* /
+    CLOUD_TPU_TASK_ID), in which case `jax.distributed.initialize()` runs
+    its cloud-TPU metadata auto-detection. `force=True` calls initialize()
+    unconditionally. Returns False (no-op) when nothing indicates a
     multi-process launch — single-host runs never pay the bring-up, and
     calling this unconditionally at the top of a driver script is safe.
     """
@@ -62,7 +81,19 @@ def initialize_multihost(
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
-    if coordinator_address is None and num_processes is None:
+    if (coordinator_address is None and num_processes is None
+            and not _pod_env_markers_present() and not force):
+        return False
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
+        import warnings
+
+        warnings.warn(
+            "jax.distributed bring-up skipped: the XLA backend is already "
+            "initialized. Call jwas_tpu.parallel.initialize_multihost() (or "
+            "runMCMC) before any other JAX computation on multi-host pods."
+        )
         return False
     kwargs = {}
     if coordinator_address is not None:

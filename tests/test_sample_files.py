@@ -135,6 +135,50 @@ def test_mt_sample_files_feed_gwas_genetic_correlation(tmp_path):
     assert len(rv[1].split(",")) == 4
 
 
+def test_st_bayesb_variance_file_is_per_marker_vector(tmp_path):
+    """Reference BayesB writes the FULL per-marker variance vector per sample
+    (output.jl:471-475), not its mean: assert p columns per row."""
+    sim = simulate_genomic_data(n=120, p=30, n_qtl=5, h2=0.5, seed=13)
+    geno = get_genotypes(sim["genotypes"], method="BayesB", name="geno")
+    model = build_model("y = intercept + geno", genotypes=geno)
+    folder = str(tmp_path / "bb")
+    runMCMC(model, sim["phenotypes"], chain_length=60, burnin=10,
+            output_samples_frequency=10, seed=3, output_folder=folder,
+            printout_model_info=False)
+    rows = _rows(os.path.join(folder, "MCMC_samples_marker_effects_variances_geno.txt"))
+    me = _rows(os.path.join(folder, "MCMC_samples_marker_effects_geno_y.txt"))
+    assert len(rows) == len(me) - 1          # one row per saved sample
+    for r in rows:
+        assert len(r.split(",")) == geno.n_markers
+        assert all(float(v) > 0 for v in r.split(","))
+
+
+def test_mt_bayesb_variance_file_is_hcat_of_blocks(tmp_path):
+    """MT BayesB: the reference writes hcat of the p per-locus (t,t) blocks —
+    t rows of p*t values per saved sample (output.jl:471-473)."""
+    sim = simulate_genomic_data_mt(n=150, p=24, n_qtl=6, h2=(0.5, 0.4),
+                                   rg=0.6, re=0.2, seed=21)
+    geno = get_genotypes(sim["genotypes"], method="BayesB",
+                         Pi={(1.0, 1.0): 0.7, (0.0, 0.0): 0.3}, name="geno")
+    model = build_model("y1 = intercept + geno\ny2 = intercept + geno",
+                        genotypes=geno)
+    folder = str(tmp_path / "mtbb")
+    runMCMC(model, sim["phenotypes"], chain_length=60, burnin=10,
+            output_samples_frequency=10, seed=8, output_folder=folder,
+            printout_model_info=False)
+    rows = _rows(os.path.join(folder, "MCMC_samples_marker_effects_variances_geno.txt"))
+    me = _rows(os.path.join(folder, "MCMC_samples_marker_effects_geno_y1.txt"))
+    n_saved = len(me) - 1
+    t, p = 2, geno.n_markers
+    assert len(rows) == n_saved * t          # t rows per saved sample
+    for r in rows:
+        assert len(r.split(",")) == p * t
+    # each locus block is symmetric within a sample: row0[j*t+1] == row1[j*t]
+    r0 = np.array([float(v) for v in rows[0].split(",")])
+    r1 = np.array([float(v) for v in rows[1].split(",")])
+    np.testing.assert_allclose(r0[1::t], r1[0::t], rtol=1e-6)
+
+
 def test_sample_files_resume_appends(tmp_path):
     sim = simulate_genomic_data(n=100, p=40, n_qtl=5, h2=0.5, seed=7)
     geno = get_genotypes(sim["genotypes"], method="BayesC", name="geno")
