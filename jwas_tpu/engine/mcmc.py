@@ -159,7 +159,26 @@ def make_st_step(cfg: EngineCfg):
         alpha, beta, delta, gamma_l, pi, varg = (
             state.alpha, state.beta, state.delta, state.gamma_l, state.pi, state.varg,
         )
-        if cfg.method in ("BayesC", "BayesB") and cfg.is_packed:
+        if cfg.method in ("BayesC", "BayesB") and cfg.is_packed and cfg.grouped:
+            # out-of-core: group-sequential streaming sweep over the pinned-
+            # host store (ops/grouped.py; streaming_genotypes.jl:978-1027)
+            from jwas_tpu.ops.grouped import (
+                GroupedPackedMarkers,
+                sweep_blocks_abc_grouped,
+            )
+
+            gm = GroupedPackedMarkers(
+                data.packed, data.packed_means, data.row_perm,
+                data.xpx, data.grams, data.valid,
+            )
+            interp = jax.default_backend() not in ("tpu", "axon")
+            alpha, beta, delta, ycorr = sweep_blocks_abc_grouped(
+                gm, alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
+                k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                host_store=cfg.host_offload, use_pallas=cfg.use_pallas,
+                interpret=interp,
+            )
+        elif cfg.method in ("BayesC", "BayesB") and cfg.is_packed:
             from jwas_tpu.ops.packed import PackedMarkers, sweep_blocks_abc_packed
 
             pm = PackedMarkers(
@@ -524,11 +543,14 @@ def _apply_update_priors(cfg, data: STData, state: ChainState, accum: Accum):
     return data, state
 
 
-def _resolve_host_offload(flag, packed) -> bool:
+def _resolve_host_offload(flag, packed_bytes: int) -> bool:
     """Out-of-core decision: explicit True/False, or 'auto' = offload when
     the packed store exceeds 60% of the device memory budget (the runtime
     analogue of the reference's streaming mode select,
-    streaming_genotypes.jl:480-497)."""
+    streaming_genotypes.jl:480-497). Decided from the HOST-side byte count,
+    before anything is staged on device. When the runtime does not report
+    memory_stats (e.g. tunneled devices), a conservative 16 GB HBM default
+    applies (override with JWAS_HBM_BYTES)."""
     if flag is True:
         return True
     if not flag or flag != "auto":
@@ -541,8 +563,8 @@ def _resolve_host_offload(flag, packed) -> bool:
     except Exception:
         limit = 0
     if not limit:
-        return False
-    return packed.size > 0.6 * limit
+        limit = int(float(os.environ.get("JWAS_HBM_BYTES", 16e9)))
+    return packed_bytes > 0.6 * limit
 
 
 def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
@@ -559,6 +581,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
 
     packed_pm = None
     host_offload = False
+    grouped = False
     if method == "GBLUP":
         X = jnp.asarray(ws.gblup_L, dtype)
         xpx = jnp.asarray(ws.gblup_D, dtype)
@@ -584,11 +607,6 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
             and "marker" in tuple(getattr(mesh, "axis_names", ()))
             and int(mesh.shape["marker"]) > 1
         )
-        packed_pm = build_packed_markers(
-            store, ws.obs_ids, bs,
-            rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
-            mesh=mesh if marker_sharded else None,
-        )
         if marker_sharded and opts.host_offload_genotypes is True:
             import warnings
 
@@ -597,18 +615,34 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
                 "mesh: each shard holds only its local packed slice on "
                 "device. Drop the 'marker' mesh axis to stream from host."
             )
+        # offload decided from host-side bytes BEFORE anything is staged on
+        # device — a >HBM store must never exist as a flat device array
         host_offload = not marker_sharded and _resolve_host_offload(
-            opts.host_offload_genotypes, packed_pm.packed
+            opts.host_offload_genotypes, store.packed.nbytes
         )
         if host_offload:
-            from jwas_tpu.ops.packed import offload_packed_to_host
+            from jwas_tpu.ops.grouped import (
+                build_grouped_markers,
+                host_memory_supported,
+            )
 
-            packed_pm = offload_packed_to_host(packed_pm)
+            packed_pm = build_grouped_markers(
+                store, ws.obs_ids, bs,
+                rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
+            )
+            host_offload = host_memory_supported()
+            grouped = True
+        else:
+            packed_pm = build_packed_markers(
+                store, ws.obs_ids, bs,
+                rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
+                mesh=mesh if marker_sharded else None,
+            )
         X = jnp.zeros((n, 0), dtype)
         xpx = packed_pm.xpx
         grams = packed_pm.grams
         valid = packed_pm.valid
-        p_pad = packed_pm.packed.shape[0]
+        p_pad = packed_pm.xpx.shape[0]
         use_blocks = True
         # exact chain-length accounting: never run more effective
         # sweeps than the user asked for (JWAS.jl:313 floors; we
@@ -789,16 +823,24 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
             bool(opts.use_pallas)
             and use_blocks
             and method in ("BayesC", "BayesB")
-            and grams.shape[2] % 128 == 0
+            and (
+                (grams.shape[2] // packed_pm.store.shape[0]) % 128 == 0
+                if grouped
+                else grams.shape[2] % 128 == 0
+            )
         ),
         host_offload=host_offload,
+        grouped=grouped,
         scale_R=float(ws.scale_R),
     )
     data = STData(
         **data_fields,
         category_obs=category_obs, cens_lower=cens_lower, cens_upper=cens_upper,
         anno_A=anno_A,
-        packed=packed_pm.packed if packed_pm is not None else None,
+        packed=(
+            None if packed_pm is None
+            else packed_pm.store if grouped else packed_pm.packed
+        ),
         packed_means=packed_pm.means if packed_pm is not None else None,
         row_perm=packed_pm.row_perm if packed_pm is not None else None,
         scale_r=jnp.asarray(float(ws.scale_R), dtype),
@@ -841,7 +883,12 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
 
     y_base = liab0 if liab0 is not None else y
     ycorr = y_base - W @ sol
-    if packed_pm is not None:
+    if packed_pm is not None and grouped:
+        from jwas_tpu.ops.grouped import grouped_matvec
+
+        ycorr = ycorr - grouped_matvec(packed_pm, alpha, n_obs=n,
+                                       host_store=host_offload)
+    elif packed_pm is not None:
         from jwas_tpu.ops.packed import packed_matvec
 
         ycorr = ycorr - packed_matvec(packed_pm, alpha, n_obs=n,

@@ -102,3 +102,6 @@ class EngineCfg:
     use_pallas: bool = False  # run blocked inner rounds in the Pallas kernel
     host_offload: bool = False  # packed store lives in pinned host memory;
                                 # sync GEMVs stream chunks (out-of-core)
+    grouped: bool = False      # packed store uses the grouped (ngroups, G,
+                               # bpm) layout with the group-sequential
+                               # streaming sweep (ops/grouped.py)

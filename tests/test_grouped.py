@@ -1,0 +1,251 @@
+"""Group-streamed packed sweep tests (the out-of-core execution mode).
+
+Covers the gaps called out for the runtime out-of-core path (reference
+analogue: src/1.JWAS/src/markers/streaming_genotypes.jl:978-1027): the
+grouped schedule's math vs the flat packed sweep, host-store bit-exactness
+vs the device-resident store, the streamed Gram precompute (f32 and
+exact-bf16) vs the dense GibbsMats, and end-to-end accuracy with multiple
+sequential groups.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jwas_tpu.ops import grouped as gr
+from jwas_tpu.ops import markers as mk
+from jwas_tpu.ops.packed import (
+    PackedMarkers,
+    packed_markers_from_arrays,
+    sweep_blocks_abc_packed,
+)
+
+
+def _pack_codes(codes):
+    """(p, n) int codes in {0,1,2,3} -> (p, ceil(n/4)) uint8."""
+    p, n = codes.shape
+    n_pad = -(-n // 4) * 4
+    c = np.zeros((p, n_pad), dtype=np.uint8)
+    c[:, :n] = codes
+    c = c.reshape(p, n_pad // 4, 4)
+    return (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+            | (c[:, :, 3] << 6)).astype(np.uint8)
+
+
+def _make_problem(n=48, p=64, b=8, gb=4, seed=0, signal=0.15):
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 3, size=(p, n))
+    packed = _pack_codes(codes)
+    means = codes.mean(axis=1).astype(np.float32)
+    X = codes.T.astype(np.float32) - means[None, :]
+    beta_true = rng.normal(size=p) * (rng.uniform(size=p) < signal)
+    y = (X @ beta_true + rng.normal(size=n) * 0.5).astype(np.float32)
+    ngroups = p // (b * gb)
+    store3 = jnp.asarray(packed.reshape(ngroups, b * gb, -1))
+    means_j = jnp.asarray(means)
+    valid = jnp.ones((p,), jnp.float32)
+    grams, xpx = gr.grouped_stats(store3, means_j, valid, None, None, b, n)
+    gm = gr.GroupedPackedMarkers(store=store3, means=means_j, row_perm=None,
+                                 xpx=xpx, grams=grams, valid=valid)
+    pm = packed_markers_from_arrays(
+        jnp.asarray(packed), means_j, valid, None, n, b
+    )
+    return gm, pm, jnp.asarray(X), jnp.asarray(y), beta_true
+
+
+def _init(p, y, pi0=0.9, vare=None, var_eff=None):
+    dtype = jnp.float32
+    vy = float(np.var(np.asarray(y)))
+    if vare is None:
+        vare = 0.5 * vy
+    if var_eff is None:
+        var_eff = 0.5 * vy / (p * (1.0 - pi0))
+    return dict(
+        alpha=jnp.zeros((p,), dtype), beta=jnp.zeros((p,), dtype),
+        delta=jnp.ones((p,), jnp.int32), ycorr=jnp.asarray(y, dtype),
+        vare=jnp.asarray(vare, dtype), var_eff=jnp.asarray(var_eff, dtype),
+        pi=jnp.full((p,), pi0, dtype),
+    )
+
+
+def test_grouped_stats_match_dense_gram():
+    gm, pm, X, y, _ = _make_problem()
+    md = mk.build_marker_blocks(X, block_size=8)
+    np.testing.assert_allclose(np.asarray(gm.grams), np.asarray(md.grams),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gm.xpx), np.asarray(md.xpx),
+                               rtol=1e-5, atol=1e-4)
+    # and against the flat packed builder
+    np.testing.assert_allclose(np.asarray(gm.grams), np.asarray(pm.grams),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_grouped_stats_exact_bf16_path():
+    """The integer-code bf16 Gram (Z'Z - m s' - s m' + n m m') equals the f32
+    decode path: products of {0,1,2} and their sums are exact in bf16xbf16
+    -> f32 accumulation."""
+    gm, _, X, _, _ = _make_problem(n=52, p=64, b=8, gb=8)
+    grams16, xpx16 = gr.grouped_stats(
+        gm.store, gm.means, gm.valid, None, None, 8, 52, exact_bf16=True
+    )
+    np.testing.assert_allclose(np.asarray(grams16), np.asarray(gm.grams),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(xpx16), np.asarray(gm.xpx),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_grouped_matvec_rhs_match_dense():
+    gm, _, X, y, _ = _make_problem()
+    v = jnp.asarray(np.random.default_rng(3).normal(size=X.shape[1]),
+                    jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(gr.grouped_matvec(gm, v, n_obs=X.shape[0])),
+        np.asarray(X @ v), rtol=1e-4, atol=1e-4,
+    )
+    w = jnp.asarray(y)
+    np.testing.assert_allclose(
+        np.asarray(gr.grouped_rhs(gm, w)), np.asarray(X.T @ w),
+        rtol=1e-4, atol=1e-3,
+    )
+
+
+def test_single_group_equals_flat_packed_sweep():
+    """With one group the grouped schedule IS the flat packed sweep; the
+    per-group key fold makes draws identical when the flat sweep is keyed
+    with fold_in(key, 0)."""
+    gm, pm, X, y, _ = _make_problem(n=48, p=64, b=8, gb=8)  # ngroups = 1
+    st = _init(64, y)
+    key = jax.random.PRNGKey(11)
+    out_g = gr.sweep_blocks_abc_grouped(
+        gm, st["alpha"], st["beta"], st["delta"], st["ycorr"], None,
+        st["vare"], st["var_eff"], st["pi"], key, nreps=4, sync_every=2,
+    )
+    out_p = sweep_blocks_abc_packed(
+        pm, st["alpha"], st["beta"], st["delta"], st["ycorr"], None,
+        st["vare"], st["var_eff"], st["pi"], jax.random.fold_in(key, 0),
+        nreps=4, sync_every=2,
+    )
+    for a, b_ in zip(out_g, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_host_store_bit_equal_device_store():
+    """host_store=True must stream the same bits: outputs are identical to
+    the device-resident store (on backends without a pinned_host space the
+    staging is a no-op; on TPU this is the out-of-core equivalence)."""
+    gm, _, X, y, _ = _make_problem(n=40, p=128, b=8, gb=4)  # 4 groups
+    st = _init(128, y)
+    key = jax.random.PRNGKey(5)
+    args = (gm, st["alpha"], st["beta"], st["delta"], st["ycorr"], None,
+            st["vare"], st["var_eff"], st["pi"], key)
+    out_dev = gr.sweep_blocks_abc_grouped(*args, nreps=3, sync_every=3)
+    store_h = gr.to_host_memory(gm.store)
+    gm_h = gm._replace(store=store_h)
+    out_host = gr.sweep_blocks_abc_grouped(
+        gm_h, *args[1:], nreps=3, sync_every=3,
+        host_store=gr.host_memory_supported(),
+    )
+    for a, b_ in zip(out_dev, out_host):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_grouped_multigroup_accuracy_and_agreement():
+    """Sequential multi-group chains recover the signal and agree with the
+    flat packed sweep's posterior (different update schedule -> compare
+    posterior summaries, not draws)."""
+    gm, pm, X, y, beta_true = _make_problem(n=160, p=128, b=8, gb=4, seed=2,
+                                            signal=0.1)
+    n, p = X.shape
+
+    def run(sweep_fn, key, iters=150):
+        st = _init(p, y, pi0=0.9)
+        alpha, beta, delta, ycorr = (st["alpha"], st["beta"], st["delta"],
+                                     st["ycorr"])
+        acc = jnp.zeros((p,))
+        for i in range(iters):
+            alpha, beta, delta, ycorr = sweep_fn(
+                alpha, beta, delta, ycorr, st["vare"], st["var_eff"],
+                st["pi"], jax.random.fold_in(key, i),
+            )
+            if i >= 50:
+                acc = acc + alpha
+        return acc / (iters - 50)
+
+    # per-rep residual sync on the flat sweep (cross-block staleness spans
+    # ALL of p there; the grouped schedule confines it to one group)
+    def grouped_fn(alpha, beta, delta, ycorr, vare, var_eff, pi, key):
+        return gr.sweep_blocks_abc_grouped(
+            gm, alpha, beta, delta, ycorr, None, vare, var_eff, pi, key,
+            nreps=4, sync_every=4,
+        )
+
+    def packed_fn(alpha, beta, delta, ycorr, vare, var_eff, pi, key):
+        return sweep_blocks_abc_packed(
+            pm, alpha, beta, delta, ycorr, None, vare, var_eff, pi, key,
+            nreps=4, sync_every=1,
+        )
+
+    am_g = np.asarray(run(grouped_fn, jax.random.PRNGKey(0)))
+    am_p = np.asarray(run(packed_fn, jax.random.PRNGKey(0)))
+    ebv_g = np.asarray(X) @ am_g
+    ebv_p = np.asarray(X) @ am_p
+    truth = np.asarray(X) @ beta_true
+    assert np.corrcoef(ebv_g, truth)[0, 1] > 0.85
+    assert np.corrcoef(ebv_g, ebv_p)[0, 1] > 0.98
+
+
+def test_grouped_bayesb_per_marker_variance():
+    """BayesB: per-marker var_eff vector flows through the grouped schedule."""
+    gm, _, X, y, _ = _make_problem(n=40, p=64, b=8, gb=4)
+    st = _init(64, y)
+    var_b = jnp.asarray(
+        np.random.default_rng(1).uniform(0.02, 0.08, size=64), jnp.float32
+    )
+    out = gr.sweep_blocks_abc_grouped(
+        gm, st["alpha"], st["beta"], st["delta"], st["ycorr"], None,
+        st["vare"], var_b, st["pi"], jax.random.PRNGKey(3), nreps=2,
+    )
+    assert np.isfinite(np.asarray(out[0])).all()
+    assert np.isfinite(np.asarray(out[3])).all()
+
+
+def test_pick_group_blocks():
+    assert gr.pick_group_blocks(16384) == 256
+    assert gr.pick_group_blocks(8192) == 256
+    assert gr.pick_group_blocks(128) == 128
+    assert gr.pick_group_blocks(96) == 96
+    assert gr.pick_group_blocks(7) == 7
+
+
+def test_runmcmc_host_offload_end_to_end():
+    """host_offload_genotypes=True routes runMCMC through the grouped
+    streaming sweep end-to-end; posterior accuracy matches the device path
+    (the runtime analogue of the reference's streaming driver,
+    streaming_genotypes.jl:978-1027)."""
+    from jwas_tpu import build_model, get_genotypes, runMCMC
+    from jwas_tpu.io.datasets import simulate_genomic_data
+    from jwas_tpu.io.packed import prepare_packed_genotypes
+
+    sim = simulate_genomic_data(n=400, p=150, n_qtl=15, h2=0.6, seed=77)
+    store = prepare_packed_genotypes(sim["genotypes"])
+    geno = get_genotypes(store, method="BayesC", name="geno")
+    model = build_model("y = intercept + geno", genotypes=geno)
+    out = runMCMC(model, sim["phenotypes"], chain_length=600, burnin=150,
+                  seed=5, output_folder="", host_offload_genotypes=True)
+    acc = np.corrcoef(out["EBV_y"].EBV, sim["true_bv"])[0, 1]
+    assert acc > 0.85, f"grouped out-of-core BayesC EBV accuracy {acc:.3f}"
+
+
+def test_materialize_grouped_host_roundtrip():
+    def gen(g):
+        return jax.random.randint(
+            jax.random.fold_in(jax.random.PRNGKey(0), g), (16, 8), 0, 255,
+            jnp.uint8,
+        )
+
+    store = gr.materialize_grouped_host(gen, ngroups=3, G=16, bpm=8)
+    assert store.shape == (3, 16, 8)
+    ref = np.stack([np.asarray(gen(g)) for g in range(3)])
+    np.testing.assert_array_equal(np.asarray(store), ref)
