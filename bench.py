@@ -136,6 +136,190 @@ def _build_packed(jax, jnp, n, p, block, dtype):
     return None, pm, y
 
 
+def _build_northstar(jax, jnp, n, p, block, gb, dtype):
+    """The TRUE north-star shape (BASELINE.md row 1: N=50k, P=2M): a 2-bit
+    packed store LARGER THAN ONE CHIP'S HBM (26 GB vs 16 GB on v5e), built
+    directly into pinned host memory group by group and swept with the
+    group-sequential streaming sweep (ops/grouped.py). The run completing at
+    all is the out-of-core proof: the store cannot exist in HBM."""
+    from jwas_tpu.ops.grouped import (
+        GroupedPackedMarkers,
+        grouped_matvec,
+        grouped_stats,
+        host_memory_supported,
+        materialize_grouped_host,
+    )
+
+    key = jax.random.PRNGKey(0)
+    G = block * gb
+    p_pad = -(-p // G) * G
+    ngroups = p_pad // G
+    n_pad = -(-n // 512) * 512          # bpm lane-aligned for clean host DMAs
+    bpm = n_pad // 4
+
+    kf = jax.random.fold_in(key, 1)
+    freqs = jax.random.uniform(kf, (p_pad,), minval=0.1, maxval=0.9)
+    # inverse-CDF Binomial(2, f): one uniform, two compares
+    q0 = (1.0 - freqs) ** 2             # P(code 0)
+    q01 = q0 + 2.0 * freqs * (1.0 - freqs)
+
+    sub = 2048                           # markers per generation sub-chunk
+    assert G % sub == 0
+
+    def gen_group(g):
+        def gen_sub(k):
+            j0 = g * G + k * sub
+            u = jax.random.uniform(
+                jax.random.fold_in(key, g * (G // sub) + k + 17), (sub, n_pad)
+            )
+            lo = jax.lax.dynamic_slice(q0, (j0,), (sub,))[:, None]
+            hi = jax.lax.dynamic_slice(q01, (j0,), (sub,))[:, None]
+            codes = (u > lo).astype(jnp.uint8) + (u > hi).astype(jnp.uint8)
+            c = codes.reshape(sub, bpm, 4)
+            return (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+                    | (c[:, :, 3] << 6))
+
+        parts = [gen_sub(k) for k in range(G // sub)]
+        return jnp.concatenate(parts, axis=0)
+
+    t0 = time.perf_counter()
+    store = materialize_grouped_host(gen_group, ngroups, G, bpm)
+    store.block_until_ready()
+    _sync(jnp.ones((1,)) + 1.0)   # drain the device queue (accurate timing)
+    host = hasattr(store, "sharding") and getattr(
+        store.sharding, "memory_kind", ""
+    ) == "pinned_host"
+    gb_store = store.size / 1e9
+    print(f"# store build: {time.perf_counter() - t0:.1f}s "
+          f"({gb_store:.1f} GB packed, pinned_host={host}, "
+          f"host_mem_supported={host_memory_supported()})", file=sys.stderr)
+
+    means = (2.0 * freqs).astype(jnp.float32)
+    valid = (jnp.arange(p_pad) < p).astype(dtype)
+    t0 = time.perf_counter()
+    grams, xpx = grouped_stats(
+        store, means, valid, None, None, block, n, host_store=host,
+        exact_bf16=True,
+    )
+    _sync(xpx)
+    print(f"# gram precompute (exact-bf16 MXU): "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    gm = GroupedPackedMarkers(store=store, means=means, row_perm=None,
+                              xpx=xpx, grams=grams, valid=valid)
+
+    ke = jax.random.fold_in(key, 2)
+    beta_true = valid * jax.random.normal(ke, (p_pad,)) * jnp.where(
+        jax.random.uniform(ke, (p_pad,)) < 0.001, 1.0, 0.0
+    )
+    y = grouped_matvec(gm, beta_true.astype(dtype), n_obs=n, host_store=host)
+    y = y + jax.random.normal(ke, (n,)).astype(dtype)
+    y = y - jnp.mean(y)
+    return gm, y, host
+
+
+def run_northstar(jax, jnp):
+    """Full north-star run: N=50k x P=2M, L=2000 effective sweeps — the
+    EXACT workload of BASELINE.md row 1 (benchmark.md:47-62, 3,449 s on a
+    64-CPU node), executed end-to-end with the 26 GB packed store streaming
+    from pinned host memory (> one v5e's 16 GB HBM, so completing is the
+    out-of-core proof). Reports the chain-rate headline plus the full-run
+    wall clock (store build + Grams + compile + chain) against 3,449 s."""
+    from jwas_tpu.engine.mcmc import (STData, STEngineCfg, _init_accum,
+                                      make_run_window)
+    from jwas_tpu.engine.state import ChainState
+
+    n = int(os.environ.get("BENCH_N", 50_000))
+    p = int(os.environ.get("BENCH_P", 2_097_152))
+    block = int(os.environ.get("BENCH_BLOCK", 128))
+    gbk = int(os.environ.get("BENCH_GROUP_BLOCKS", 128))
+    nreps = int(os.environ.get("BENCH_NREPS", block))
+    L = int(os.environ.get("BENCH_CHAIN", 2_000))
+    n_outer = -(-L // nreps)
+    sync_every = int(os.environ.get("BENCH_SYNC", 32))
+    dtype = jnp.float32
+
+    t_all = time.perf_counter()
+    gm, y, host = _build_northstar(jax, jnp, n, p, block, gbk, dtype)
+    p_pad = gm.xpx.shape[0]
+    nblocks = gm.grams.shape[2]
+
+    K = 1
+    W = jnp.ones((n, K), dtype)
+    vary_analytic = float(0.001 * p * 0.42 + 1.0)
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and gbk % 128 == 0
+
+    cfg = STEngineCfg(
+        method="BayesC", n_obs=n, n_markers=p, n_loc=K,
+        estimate_pi=True, estimate_marker_variance=True, estimate_scale=False,
+        estimate_residual_variance=True, use_blocks=True, nreps=nreps,
+        sync_every=sync_every,
+        re_groups=(), df_residual=4.0, df_marker=4.0, has_weights=False,
+        use_pallas=use_pallas, is_packed=True, grouped=True,
+        host_offload=host, scale_R=vary_analytic * 0.5,
+    )
+    data = STData(
+        W=W, WtRinvW=(W.T @ W), rinv=jnp.ones((n,), dtype), y=y,
+        X=jnp.zeros((n, 0), dtype), xpx=gm.xpx, grams=gm.grams,
+        valid=gm.valid, Vinv=(), vc_scale=(),
+        out_geno=jnp.zeros((0, p), dtype), out_W=jnp.zeros((0, K), dtype),
+        packed=gm.store, packed_means=gm.means, row_perm=gm.row_perm,
+    )
+    pi0 = jnp.where(gm.valid > 0, 0.95, 1.0).astype(dtype)
+    state = ChainState(
+        key=jax.random.PRNGKey(42), sol=jnp.zeros((K,), dtype),
+        alpha=jnp.zeros((p_pad,), dtype), beta=jnp.zeros((p_pad,), dtype),
+        delta=jnp.where(gm.valid > 0, 1, 0).astype(jnp.int32),
+        gamma_l=jnp.ones((p_pad,), dtype),
+        ycorr=y, vare=jnp.asarray(vary_analytic * 0.5, dtype),
+        varg=jnp.asarray(0.01, dtype), pi=pi0,
+        scale_g=jnp.asarray(0.005, dtype), vc=(),
+    )
+
+    run_window = make_run_window(cfg)
+    accum = _init_accum(cfg, data, state)
+
+    win = 2
+    t_c = time.perf_counter()
+    state, accum, _ = run_window(state, data, accum, win, accumulate=True)
+    _sync(state.vare)
+    t_compile_and_first = time.perf_counter() - t_c
+    print(f"# compile + first window ({win} outer): "
+          f"{t_compile_and_first:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    done = win
+    while done < n_outer:
+        state, accum, out = run_window(state, data, accum, win, accumulate=True)
+        done += win
+    _sync(state.vare)
+    dt_rest = time.perf_counter() - t0
+    chain_s = t_compile_and_first + dt_rest   # conservative: includes compile
+    full_s = time.perf_counter() - t_all
+    effective = p * nreps * n_outer
+    rate = effective / chain_s
+    print(
+        json.dumps(
+            {
+                "metric": "marker_updates_per_sec",
+                "value": round(rate, 1),
+                "unit": "updates/s",
+                "vs_baseline": round(rate / BASELINE_UPDATES_PER_SEC, 2),
+            }
+        )
+    )
+    print(
+        f"# mode=northstar n={n} p={p} ({gm.store.size/1e9:.1f} GB packed, "
+        f"pinned_host={host}) block={block} group_blocks={gbk} nreps={nreps} "
+        f"sync={sync_every} outer={n_outer} effective_sweeps={nreps*n_outer} "
+        f"chain={chain_s:.1f}s full_run={full_s:.1f}s "
+        f"vs_reference_3449s={3449.0/full_s:.1f}x_full "
+        f"{3449.0*(nreps*n_outer)/2000.0/chain_s:.1f}x_chain "
+        f"pallas={use_pallas} device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -144,10 +328,12 @@ def main():
     # channel-setup cost over the tunnel; pay it now so timed fetches are ~30ms.
     _sync(jnp.ones((1,)))
 
+    mode = os.environ.get("BENCH_MODE", "packed")
+    if mode == "northstar":
+        return run_northstar(jax, jnp)
+
     from jwas_tpu.engine.mcmc import STEngineCfg, make_run_window, _init_accum, STData
     from jwas_tpu.engine.state import ChainState
-
-    mode = os.environ.get("BENCH_MODE", "packed")
     if mode == "packed":
         # North star: p >= 1M markers on one chip (BASELINE.md), 2-bit packed
         # (3 GB at n=12k) + b=128 Gram tiles (0.5 GB).

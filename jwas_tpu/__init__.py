@@ -36,7 +36,8 @@ from jwas_tpu.engine.solve import solve
 from jwas_tpu.analysis.gwas import GWAS
 from jwas_tpu.io.datasets import dataset
 from jwas_tpu.ops.rrm import generate_full_phi
-from jwas_tpu.analysis.diagnostics import PSRF, traceplot, LOOCV, lsmeans, getEBV
+from jwas_tpu.analysis.diagnostics import (PSRF, PSRF_per_parameter,
+                                           traceplot, LOOCV, lsmeans, getEBV)
 from jwas_tpu.io.packed import Packed2BitStore, prepare_packed_genotypes
 
 # reference-compatible name (prepare_streaming_genotypes, JWAS.jl:61-70)
@@ -63,6 +64,7 @@ __all__ = [
     "dataset",
     "generate_full_phi",
     "PSRF",
+    "PSRF_per_parameter",
     "traceplot",
     "LOOCV",
     "lsmeans",

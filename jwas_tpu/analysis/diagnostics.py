@@ -59,6 +59,53 @@ def PSRF(*chains, header: bool = True) -> float:
     return V / W
 
 
+def _read_sample_file(path: str):
+    """Read one MCMC sample file; returns (labels, (n_samples, k) array).
+    Files written without a header (e.g. pi) get positional labels."""
+    first = open(path).readline().strip()
+    has_header = False
+    for tok in first.split(","):
+        try:
+            float(tok)
+        except ValueError:
+            has_header = True
+            break
+    df = pd.read_csv(path, header=0 if has_header else None)
+    labels = [str(c) for c in df.columns]
+    return labels, df.to_numpy(dtype=np.float64)
+
+
+def PSRF_per_parameter(*paths, max_params: int = 0) -> pd.DataFrame:
+    """Per-parameter Gelman-Rubin PSRF from per-chain MCMC sample files.
+
+    paths: the SAME parameter's sample file from >=2 chains (e.g.
+    `chain_1/MCMC_samples_marker_effects_geno_y.txt`, `chain_2/...` written
+    by runMCMC(..., n_chains=K, output_chain_samples=True)). One row per
+    column (parameter level / marker), PSRF computed column-wise — the
+    per-parameter refinement of the reference's whole-table PSRF
+    (convergence_diagnosis.jl:31-57).
+    """
+    if len(paths) < 2:
+        raise ValueError("PSRF_per_parameter needs files from >=2 chains")
+    labels = None
+    mats = []
+    for p_ in paths:
+        lab, arr = _read_sample_file(p_)
+        labels = lab if labels is None else labels
+        mats.append(arr)
+    N = min(m.shape[0] for m in mats)
+    k = min(m.shape[1] for m in mats)
+    if max_params:
+        k = min(k, int(max_params))
+    rows = []
+    for j in range(k):
+        cols = [m[:N, j] for m in mats]
+        if all(np.std(c) == 0.0 for c in cols):
+            continue
+        rows.append((labels[j], float(PSRF(*cols, header=False))))
+    return pd.DataFrame(rows, columns=["parameter", "PSRF"])
+
+
 def traceplot(samples, labels: Sequence[str] = (), nplots: int = 4,
               header: bool = True, save_path: str = "traceplot.png"):
     """Trace + running-mean plot of the first `nplots` parameters

@@ -1005,26 +1005,59 @@ def _run_multichain(ws, cfg, data, state, opts):
     thin_outer = max(1, osf // nreps)
     n_saved = max(1, (n_outer - burnin_outer) // thin_outer)
 
+    # chain-0 streams the top-level sample-file set (parity with the MT
+    # multichain driver, mcmc_mt.py); output_chain_samples=True additionally
+    # writes every chain's files under chain_<k>/ for PSRF_per_parameter
+    from jwas_tpu.engine.progress import ProgressPrinter
+    from jwas_tpu.engine.samples_io import STSampleStream, multichain_streams
+
+    stream = STSampleStream(ws, cfg, opts, append=False)
+    chain_streams = multichain_streams(STSampleStream, ws, cfg, opts, K)
+    progress = ProgressPrinter(opts.printout_frequency, opts.chain_length)
+
     if burnin_outer > 0:
         states, accums, _ = mc(states, data, accums, burnin_outer, False)
 
     chain_samples = {"vare": [], "h2": [], "genvar": [], "varg": []}
     chain_pi = []
     samples = {"vare": [], "varg": [], "pi": [], "genvar": [], "h2": []}
-    for _ in range(n_saved):
+    need_states = stream.enabled or chain_streams
+    for w in range(n_saved):
         states, accums, out = mc(states, data, accums, thin_outer, True)
+        # ONE batched device->host transfer per saved window (out for the
+        # scalar tracks; states only when sample files are being written)
+        if need_states:
+            out_h, states_h = jax.device_get((out, states))
+        else:
+            out_h = jax.device_get(out)
+            states_h = None
         for k_, field_ in (("vare", "vare"), ("h2", "h2"),
                            ("genvar", "genvar"), ("varg", "varg_mean")):
-            chain_samples[k_].append(np.asarray(getattr(out, field_)))  # (K,)
-        chain_pi.append(np.asarray(out.pi_summary))                     # (K, 4)
+            chain_samples[k_].append(np.asarray(getattr(out_h, field_)))  # (K,)
+        chain_pi.append(np.asarray(out_h.pi_summary))                     # (K, 4)
         # per-chain draws enter the sample list individually so posterior SDs
         # pool over the flattened (sample, chain) axes — appending the chain
         # MEAN would shrink SDs ~sqrt(K) vs single-chain semantics
-        samples["vare"].extend(np.asarray(out.vare))
-        samples["varg"].extend(np.asarray(out.varg_mean))
-        samples["pi"].extend(np.asarray(out.pi_summary))
-        samples["genvar"].extend(np.asarray(out.genvar))
-        samples["h2"].extend(np.asarray(out.h2))
+        samples["vare"].extend(np.asarray(out_h.vare))
+        samples["varg"].extend(np.asarray(out_h.varg_mean))
+        samples["pi"].extend(np.asarray(out_h.pi_summary))
+        samples["genvar"].extend(np.asarray(out_h.genvar))
+        samples["h2"].extend(np.asarray(out_h.h2))
+        if need_states:
+            chain_view = lambda k: jax.tree.map(  # noqa: E731
+                lambda x: x[k], (states_h, out_h)
+            )
+            s0, o0 = chain_view(0)
+            stream.write_sample(s0, o0)
+            for k, cs in enumerate(chain_streams):
+                sk, ok = (s0, o0) if k == 0 else chain_view(k)
+                cs.write_sample(sk, ok)
+        progress.update((burnin_outer + (w + 1) * thin_outer) * nreps,
+                        vare=out_h.vare[0], varg=out_h.varg_mean[0],
+                        pi=out_h.pi_summary[0])
+    stream.close()
+    for cs in chain_streams:
+        cs.close()
 
     # equal-length chains: pooling the per-chain Welford moments is exact
     pooled = jax.tree.map(lambda x: x.mean(axis=0), accums)
@@ -1033,6 +1066,14 @@ def _run_multichain(ws, cfg, data, state, opts):
     from jwas_tpu.engine.output import build_results
 
     results = build_results(ws, cfg, pooled, samples, opts)
+    if stream.enabled and ws.geno is not None and stream.write_markers:
+        results["_marker_sample_file"] = stream.writer.path(
+            f"marker_effects_{ws.geno.name}_{ws.model.lhs_vec[0]}"
+        )
+    if chain_streams:
+        results["_chain_sample_folders"] = [
+            cs.writer.folder for cs in chain_streams
+        ]
     if n_saved > 1:
         rows = []
         for name, vals in chain_samples.items():

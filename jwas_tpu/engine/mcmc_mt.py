@@ -992,9 +992,10 @@ def _run_mt_multichain(ws, model, cfg, data, state, opts):
     n_saved = max(1, (n_outer - burnin_outer) // thin_outer)
 
     from jwas_tpu.engine.progress import ProgressPrinter
-    from jwas_tpu.engine.samples_io import MTSampleStream
+    from jwas_tpu.engine.samples_io import MTSampleStream, multichain_streams
 
     stream = MTSampleStream(ws, cfg, opts, append=False)
+    chain_streams = multichain_streams(MTSampleStream, ws, cfg, opts, K)
     progress = ProgressPrinter(opts.printout_frequency, opts.chain_length,
                                n_traits=cfg.n_traits)
 
@@ -1003,31 +1004,45 @@ def _run_mt_multichain(ws, model, cfg, data, state, opts):
 
     samples = {"R": [], "varg": [], "pi": [], "genvar": [], "h2": [],
                "lam": [], "alpha": []}
-    chain_track = {"h2": [], "genvar": [], "R": []}
+    chain_track = {"h2": [], "genvar": [], "R": [], "varg": []}
     for w in range(n_saved):
         states, accums, out = mc(states, data, accums, thin_outer, True)
-        out0 = jax.tree.map(lambda x: x[0], out)
+        # ONE batched device->host transfer per saved window
+        out_h, states_h = jax.device_get((out, states))
+        out0 = jax.tree.map(lambda x: x[0], out_h)
         # per-chain draws enter the sample list individually so posterior SDs
         # are taken over the flattened (sample, chain) axes — appending the
         # chain MEAN here would shrink reported SDs by ~sqrt(n_chains) vs the
         # single-chain (and reference) semantics; estimates are unchanged
         # because windows are equal-length across chains
-        for k_, v in (("R", out.R), ("varg", out.varg), ("pi", out.pi),
-                      ("genvar", out.genvar), ("h2", out.h2)):
+        for k_, v in (("R", out_h.R), ("varg", out_h.varg), ("pi", out_h.pi),
+                      ("genvar", out_h.genvar), ("h2", out_h.h2)):
             samples[k_].extend(np.asarray(v))
         if cfg.sem_edges:
             samples["lam"].append(np.asarray(out0.lam))
             samples["alpha"].append(
-                np.asarray(states.alpha[0])[:, : cfg.n_markers]
+                np.asarray(states_h.alpha[0])[:, : cfg.n_markers]
             )
-        chain_track["h2"].append(np.asarray(out.h2))        # (K, t)
-        chain_track["genvar"].append(np.asarray(out.genvar))  # (K, t, t)
-        chain_track["R"].append(np.asarray(out.R))
-        state0 = jax.tree.map(lambda x: x[0], states)
+        chain_track["h2"].append(np.asarray(out_h.h2))        # (K, t)
+        chain_track["genvar"].append(np.asarray(out_h.genvar))  # (K, t, t)
+        chain_track["R"].append(np.asarray(out_h.R))
+        varg_h = np.asarray(out_h.varg)
+        if varg_h.ndim == 4:            # per-locus BayesB: track the mean block
+            varg_h = varg_h.mean(axis=1)
+        chain_track["varg"].append(varg_h)                    # (K, t, t)
+        state0 = jax.tree.map(lambda x: x[0], states_h)
         stream.write_sample(state0, out0)
+        for k, cs in enumerate(chain_streams):
+            if k == 0:
+                cs.write_sample(state0, out0)
+            else:
+                cs.write_sample(jax.tree.map(lambda x: x[k], states_h),
+                                jax.tree.map(lambda x: x[k], out_h))
         progress.update((burnin_outer + (w + 1) * thin_outer) * nreps,
                         vare=out0.R, varg=out0.varg, pi=out0.pi)
     stream.close()
+    for cs in chain_streams:
+        cs.close()
 
     pooled = jax.tree.map(lambda x: x.mean(axis=0), accums)
     from jwas_tpu.engine.output_mt import build_mt_results
@@ -1038,23 +1053,37 @@ def _run_mt_multichain(ws, model, cfg, data, state, opts):
             trait: stream.writer.path(f"marker_effects_{ws.geno.name}_{trait}")
             for trait in model.lhs_vec
         }
+    if chain_streams:
+        results["_chain_sample_folders"] = [
+            cs.writer.folder for cs in chain_streams
+        ]
     if n_saved > 1:
         from jwas_tpu.analysis.diagnostics import PSRF as _psrf
 
         rows = []
         t = cfg.n_traits
+
+        def add(name, col):
+            if np.allclose(col.std(axis=0), 0.0):
+                return
+            try:
+                rows.append((name, float(_psrf(*[col[:, c] for c in range(K)]))))
+            except Exception:
+                pass
+
         for name, arr, diag in (("h2", np.stack(chain_track["h2"]), False),
                                 ("genvar", np.stack(chain_track["genvar"]), True),
-                                ("R", np.stack(chain_track["R"]), True)):
+                                ("R", np.stack(chain_track["R"]), True),
+                                ("varg", np.stack(chain_track["varg"]), True)):
             for ti in range(t):
-                col = arr[:, :, ti, ti] if diag else arr[:, :, ti]
-                if np.allclose(col.std(axis=0), 0.0):
-                    continue
-                try:
-                    rows.append((f"{name}[{ti}]",
-                                 float(_psrf(*[col[:, c] for c in range(K)]))))
-                except Exception:
-                    continue
+                add(f"{name}[{ti}]", arr[:, :, ti, ti] if diag else arr[:, :, ti])
+        # per-trait-pair genetic correlations from the tracked genvar draws
+        gv = np.stack(chain_track["genvar"])         # (n_saved, K, t, t)
+        for ti in range(t):
+            for tj in range(ti + 1, t):
+                denom = np.sqrt(np.abs(gv[:, :, ti, ti] * gv[:, :, tj, tj]))
+                add(f"gencor[{ti},{tj}]",
+                    gv[:, :, ti, tj] / np.where(denom == 0, 1.0, denom))
         results["PSRF"] = pd.DataFrame(rows, columns=["parameter", "PSRF"])
     return results
 

@@ -411,10 +411,54 @@ def run_mcmc_rrm(model, df: pd.DataFrame, opts, dtype):
         vc_m=tuple(z(v.shape, dtype) for v in state.vc),
         vc_m2=tuple(z(v.shape, dtype) for v in state.vc),
     )
-    if burnin > 0:
-        state, accum = run_window(state, data, accum, burnin, accumulate=False)
-    for _ in range(n_saved):
-        state, accum = run_window(state, data, accum, osf, accumulate=True)
+    # unified output subsystem: the same sample-file set / progress /
+    # checkpointing the ST and MT drivers have (the reference RRM driver
+    # writes the full sample-file set, MCMC_BayesianAlphabet_RRM.jl:99,201)
+    import os as _os
+    from types import SimpleNamespace
+
+    from jwas_tpu.engine.progress import ProgressPrinter, maybe_profile
+    from jwas_tpu.engine.samples_io import RRMSampleStream
+    from jwas_tpu.utils import checkpoint as ckpt
+
+    ck_folder = opts.checkpoint_folder or _os.path.join(
+        opts.output_folder or "results", "checkpoint"
+    )
+    ck_every_w = 0
+    if opts.checkpoint_frequency and int(opts.checkpoint_frequency) > 0:
+        ck_every_w = max(1, int(opts.checkpoint_frequency) // osf)
+    w0 = 0
+    resumed = False
+    if opts.resume:
+        path = ckpt.latest_checkpoint(ck_folder)
+        if path is not None:
+            (state, accum), _smp, meta = ckpt.load_checkpoint(
+                path, (state, accum)
+            )
+            w0 = int(meta["w_next"])
+            resumed = True
+
+    ws_like = SimpleNamespace(model=model, geno=geno,
+                              re_groups=model.random_effects)
+    stream = RRMSampleStream(ws_like, cfg, opts, append=resumed)
+    progress = ProgressPrinter(opts.printout_frequency, opts.chain_length)
+
+    with maybe_profile(opts):
+        if burnin > 0 and not resumed:
+            state, accum = run_window(state, data, accum, burnin,
+                                      accumulate=False)
+        for w in range(w0, n_saved):
+            state, accum = run_window(state, data, accum, osf, accumulate=True)
+            state_h = jax.device_get(state)
+            stream.write_sample(state_h)
+            progress.update(burnin + (w + 1) * osf, vare=state_h.vare,
+                            varg=state_h.varg, pi=state_h.pi)
+            if ck_every_w and (w + 1) % ck_every_w == 0:
+                ckpt.save_checkpoint(
+                    ck_folder, burnin + (w + 1) * osf, (state, accum), {},
+                    {"w_next": w + 1}, keep=opts.checkpoint_keep,
+                )
+    stream.close()
 
     return _rrm_results(model, geno, cfg, accum, ids, times, opts,
                         re_groups=model.random_effects)

@@ -204,6 +204,108 @@ class STSampleStream:
             self.writer.close()
 
 
+def multichain_streams(stream_cls, ws, cfg, opts, n_chains: int):
+    """Per-chain sample-file streams under chain_<k>/ subfolders (inputs to
+    analysis.diagnostics.PSRF_per_parameter). Enabled by
+    runMCMC(..., output_chain_samples=True); chain-0 additionally streams to
+    the top-level folder for single-chain-compatible workflows."""
+    import dataclasses
+
+    if not opts.output_folder or not bool(
+        getattr(opts, "output_chain_samples", False)
+    ):
+        return []
+    return [
+        stream_cls(
+            ws, cfg,
+            dataclasses.replace(
+                opts,
+                output_folder=os.path.join(opts.output_folder, f"chain_{k + 1}"),
+            ),
+            append=False,
+        )
+        for k in range(n_chains)
+    ]
+
+
+class RRMSampleStream:
+    """Random-regression driver hook: the full per-parameter sample-file set
+    the reference RRM driver writes (MCMC_BayesianAlphabet_RRM.jl:99,201 via
+    output_MCMC_samples_setup/output_MCMC_samples). The RRM 'traits' are the
+    Legendre coefficients; marker-effect files are written per coefficient."""
+
+    def __init__(self, ws_like, cfg, opts, append: bool = False):
+        # ws_like: (model, geno, re_groups, output_ids) — the RRM driver has
+        # no full Workspace; it passes a lightweight namespace
+        model, geno, re_groups = (ws_like.model, ws_like.geno,
+                                  ws_like.re_groups)
+        self.enabled = bool(opts.output_folder)
+        if not self.enabled:
+            self.writer = None
+            return
+        self.cfg = cfg
+        self.opts = opts
+        self.geno = geno
+        self.re_groups = re_groups
+        trait = model.lhs_vec[0]
+        self.trait = trait
+        c = cfg.ncoeff
+        w = MCMCSampleWriter(opts.output_folder, append=append)
+        w.register("residual_variance", _trait_pair_header([trait]))
+
+        self.loc_slices = []
+        for trm_str in model.output_samples_terms:
+            trm = model.term_dict.get(trm_str)
+            if trm is None:
+                continue
+            w.register(trm_str, [f"{trm_str}:{s}" for s in trm.names])
+            self.loc_slices.append((trm_str, trm.start_pos, trm.n_levels))
+
+        self.re_vars = []
+        for grp in re_groups:
+            var = "_".join(grp.term_array) + "_variances"
+            w.register(var, _trait_pair_header(list(grp.term_array)))
+            self.re_vars.append(var)
+
+        p = cfg.n_markers
+        self.write_markers = (
+            bool(opts.output_marker_samples) or p <= MARKER_FILE_MAX_P
+        )
+        coeffs = [f"coeff{i + 1}" for i in range(c)]
+        if self.write_markers:
+            for cname in coeffs:
+                w.register(f"marker_effects_{geno.name}_{cname}",
+                           geno.marker_ids)
+        w.register(f"marker_effects_variances_{geno.name}",
+                   _trait_pair_header(coeffs))
+        w.register(f"pi_{geno.name}")
+        self.writer = w
+
+    def write_sample(self, state):
+        if not self.enabled:
+            return
+        w = self.writer
+        cfg = self.cfg
+        p = cfg.n_markers
+        sol = np.asarray(state.sol)
+        w.write("residual_variance", state.vare)
+        for trm_str, start, nlev in self.loc_slices:
+            w.write(trm_str, sol[start : start + nlev])
+        for grp, var, vc in zip(self.re_groups, self.re_vars, state.vc):
+            w.write(var, vc)
+        if self.write_markers:
+            alpha = np.asarray(state.alpha)      # (c, p)
+            for i in range(cfg.ncoeff):
+                w.write(f"marker_effects_{self.geno.name}_coeff{i + 1}",
+                        alpha[i, :p])
+        w.write(f"marker_effects_variances_{self.geno.name}", state.varg)
+        w.write(f"pi_{self.geno.name}", state.pi)
+
+    def close(self):
+        if self.enabled and self.writer is not None:
+            self.writer.close()
+
+
 class MTSampleStream:
     """Multi-trait driver hook (same file schema, trait-expanded)."""
 

@@ -70,6 +70,10 @@ class MCMCOptions:
                                         # of the device memory budget
     memory_guard_ratio: float = 0.9
     n_chains: int = 1                   # parallel chains (vmapped; P6 analogue)
+    output_chain_samples: bool = False  # with n_chains>1: also write the full
+                                        # per-parameter sample-file set for
+                                        # EVERY chain under chain_<k>/
+                                        # (feeds PSRF_per_parameter)
     use_pallas: bool = False            # Pallas kernel for the blocked sweep
     sync_every: Optional[int] = None    # inner reps between residual syncs in
                                         # the blocked sweeps (default min(8, nreps))

@@ -163,3 +163,47 @@ def test_rrm_with_pedigree_polygenic_effect():
                   output_folder="")
     assert "polygenic effects covariance matrix" in out
     assert float(out["polygenic effects covariance matrix"]["Estimate"].iloc[0]) > 0
+
+
+def test_rrm_sample_files_progress_checkpoint(tmp_path, capsys):
+    """RRM now shares the unified output subsystem: the per-parameter sample
+    files the reference RRM driver writes (MCMC_BayesianAlphabet_RRM.jl:99,
+    201), console progress, and resumable checkpoints."""
+    df, geno_df, U, ids, times, phi = _rrm_sim(nind=120, p=40, seed=7)
+    geno = get_genotypes(geno_df, method="BayesC", name="geno")
+    model = build_model("y = intercept + time + geno", genotypes=geno)
+    from jwas_tpu import outputMCMCsamples
+
+    outputMCMCsamples(model, "time")
+    folder = str(tmp_path / "rrm_out")
+    out = runMCMC(model, df, chain_length=200, burnin=40, seed=9, RRM=phi,
+                  output_folder=folder, output_samples_frequency=10,
+                  printout_frequency=50, checkpoint_frequency=100)
+    assert "iteration" in capsys.readouterr().out
+    import os
+
+    n_saved = (200 - 40) // 10
+    # residual variance: 1 header + n_saved rows
+    rv = open(os.path.join(folder, "MCMC_samples_residual_variance.txt")).read().splitlines()
+    assert len(rv) == 1 + n_saved
+    # per-coefficient marker-effect files with marker-ID headers
+    for cname in ("coeff1", "coeff2"):
+        f = os.path.join(folder, f"MCMC_samples_marker_effects_geno_{cname}.txt")
+        lines = open(f).read().splitlines()
+        assert lines[0].split(",")[0] == "m0"
+        assert len(lines) == 1 + n_saved
+        assert len(lines[1].split(",")) == 40
+    # c x c marker-variance rows + location-parameter file
+    mv = open(os.path.join(folder, "MCMC_samples_marker_effects_variances_geno.txt")).read().splitlines()
+    assert len(mv[1].split(",")) == 4          # (2,2) flattened
+    loc = open(os.path.join(folder, "MCMC_samples_y.time.txt")).read().splitlines()
+    assert len(loc) == 1 + n_saved
+    # checkpoints were written and resume continues without error
+    ck = os.path.join(folder, "checkpoint")
+    assert os.path.isdir(ck) and len(os.listdir(ck)) >= 1
+    geno_r = get_genotypes(geno_df, method="BayesC", name="geno")
+    model_r = build_model("y = intercept + time + geno", genotypes=geno_r)
+    out2 = runMCMC(model_r, df, chain_length=200, burnin=40, seed=9, RRM=phi,
+                   output_folder=folder, output_samples_frequency=10,
+                   resume=True)
+    assert np.isfinite(out2["EBV_trajectory"].EBV).all()
