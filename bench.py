@@ -212,7 +212,8 @@ def _build_northstar(jax, jnp, n, p, block, gb, dtype):
     beta_true = valid * jax.random.normal(ke, (p_pad,)) * jnp.where(
         jax.random.uniform(ke, (p_pad,)) < 0.001, 1.0, 0.0
     )
-    y = grouped_matvec(gm, beta_true.astype(dtype), n_obs=n, host_store=host)
+    y = grouped_matvec(gm, beta_true.astype(dtype), n_obs=n, host_store=host,
+                       has_missing=False)
     y = y + jax.random.normal(ke, (n,)).astype(dtype)
     y = y - jnp.mean(y)
     return gm, y, host
@@ -256,7 +257,8 @@ def run_northstar(jax, jnp):
         sync_every=sync_every,
         re_groups=(), df_residual=4.0, df_marker=4.0, has_weights=False,
         use_pallas=use_pallas, is_packed=True, grouped=True,
-        host_offload=host, scale_R=vary_analytic * 0.5,
+        host_offload=host, has_missing_codes=False,
+        scale_R=vary_analytic * 0.5,
     )
     data = STData(
         W=W, WtRinvW=(W.T @ W), rinv=jnp.ones((n,), dtype), y=y,

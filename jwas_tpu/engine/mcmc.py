@@ -176,7 +176,7 @@ def make_st_step(cfg: EngineCfg):
                 gm, alpha, beta, delta, ycorr, rinv, state.vare, varg, pi,
                 k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
                 host_store=cfg.host_offload, use_pallas=cfg.use_pallas,
-                interpret=interp,
+                interpret=interp, has_missing=cfg.has_missing_codes,
             )
         elif cfg.method in ("BayesC", "BayesB") and cfg.is_packed:
             from jwas_tpu.ops.packed import PackedMarkers, sweep_blocks_abc_packed
@@ -404,8 +404,10 @@ class Accum(NamedTuple):
     ebv_m2: jnp.ndarray
     vc_m: Tuple[jnp.ndarray, ...]
     vc_m2: Tuple[jnp.ndarray, ...]
-    ann_m: jnp.ndarray = jnp.zeros((0,))
-    ann_m2: jnp.ndarray = jnp.zeros((0,))
+    # defaults are None (not jnp.zeros) so importing the module does not
+    # initialize the XLA backend (jax.distributed must run first on pods)
+    ann_m: Optional[jnp.ndarray] = None
+    ann_m2: Optional[jnp.ndarray] = None
 
 
 def _welford(m, x, n):
@@ -620,16 +622,19 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         host_offload = not marker_sharded and _resolve_host_offload(
             opts.host_offload_genotypes, store.packed.nbytes
         )
+        has_missing_codes = True
         if host_offload:
             from jwas_tpu.ops.grouped import (
                 build_grouped_markers,
                 host_memory_supported,
+                store_has_missing,
             )
 
             packed_pm = build_grouped_markers(
                 store, ws.obs_ids, bs,
                 rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
             )
+            has_missing_codes = store_has_missing(store.packed)
             host_offload = host_memory_supported()
             grouped = True
         else:
@@ -831,6 +836,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         ),
         host_offload=host_offload,
         grouped=grouped,
+        has_missing_codes=has_missing_codes if grouped else True,
         scale_R=float(ws.scale_R),
     )
     data = STData(
@@ -887,7 +893,8 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         from jwas_tpu.ops.grouped import grouped_matvec
 
         ycorr = ycorr - grouped_matvec(packed_pm, alpha, n_obs=n,
-                                       host_store=host_offload)
+                                       host_store=host_offload,
+                                       has_missing=has_missing_codes)
     elif packed_pm is not None:
         from jwas_tpu.ops.packed import packed_matvec
 

@@ -457,8 +457,10 @@ class MTAccum(NamedTuple):
     vc_m2: Tuple[jnp.ndarray, ...]
     lam_m: jnp.ndarray
     lam_m2: jnp.ndarray
-    ann_m: jnp.ndarray = jnp.zeros((0,))
-    ann_m2: jnp.ndarray = jnp.zeros((0,))
+    # defaults are None (not jnp.zeros) so importing the module does not
+    # initialize the XLA backend (jax.distributed must run first on pods)
+    ann_m: Optional[jnp.ndarray] = None
+    ann_m2: Optional[jnp.ndarray] = None
 
 
 class MTSampleOut(NamedTuple):

@@ -105,3 +105,6 @@ class EngineCfg:
     grouped: bool = False      # packed store uses the grouped (ngroups, G,
                                # bpm) layout with the group-sequential
                                # streaming sweep (ops/grouped.py)
+    has_missing_codes: bool = True  # 2-bit store contains code 3 (missing);
+                                    # False skips the mask matmuls in the
+                                    # plane-decomposed GEMVs

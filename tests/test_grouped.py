@@ -120,6 +120,7 @@ def test_single_group_equals_flat_packed_sweep():
     out_g = gr.sweep_blocks_abc_grouped(
         gm, st["alpha"], st["beta"], st["delta"], st["ycorr"], None,
         st["vare"], st["var_eff"], st["pi"], key, nreps=4, sync_every=2,
+        use_planes=False,   # the flat sweep uses the decode-tile GEMVs
     )
     out_p = sweep_blocks_abc_packed(
         pm, st["alpha"], st["beta"], st["delta"], st["ycorr"], None,
@@ -217,6 +218,73 @@ def test_pick_group_blocks():
     assert gr.pick_group_blocks(128) == 128
     assert gr.pick_group_blocks(96) == 96
     assert gr.pick_group_blocks(7) == 7
+
+
+def test_plane_gemvs_match_decode_tile():
+    """The plane-decomposed GEMVs (sum_j C_j @ w[j::4] with mean/missing
+    corrections) equal the decode-tile GEMVs — including missing codes, a
+    row permutation, and sub-byte tail padding."""
+    rng = np.random.default_rng(8)
+    p, n = 96, 45                         # n % 4 != 0: tail padding exercised
+    codes = rng.integers(0, 3, size=(p, n))
+    codes[rng.uniform(size=(p, n)) < 0.1] = 3          # missing
+    packed = jnp.asarray(_pack_codes(codes))
+    obs = np.where(codes != 3, codes, np.nan)
+    means = np.nanmean(obs, axis=1).astype(np.float32)
+    X = np.where(codes == 3, means[:, None], codes).T - means[None, :]
+    perm = rng.permutation(n).astype(np.int32)
+    Xp = X[perm]                                        # observation order
+    w = jnp.asarray(rng.normal(size=n), jnp.float32)
+    v = jnp.asarray(rng.normal(size=p), jnp.float32)
+    mns = jnp.asarray(means)
+    bpm = packed.shape[1]
+    w_pad = gr._pad_w(w, bpm, jnp.asarray(perm))
+    rhs = gr._plane_rhs(packed, mns, w_pad, has_missing=True)
+    np.testing.assert_allclose(np.asarray(rhs), Xp.T @ np.asarray(w),
+                               rtol=1e-4, atol=1e-3)
+    mv = gr._plane_matvec(packed, mns, v, n, jnp.asarray(perm),
+                          has_missing=True)
+    np.testing.assert_allclose(np.asarray(mv), Xp @ np.asarray(v),
+                               rtol=1e-4, atol=1e-3)
+    # identity-perm + sub-chunked variants
+    w_pad0 = gr._pad_w(w, bpm, None)
+    rhs0 = gr._tile_rhs_planes(packed, mns, w_pad0, sc=32, has_missing=True)
+    np.testing.assert_allclose(np.asarray(rhs0), X.T @ np.asarray(w),
+                               rtol=1e-4, atol=1e-3)
+    mv0 = gr._tile_matvec_planes(packed, mns, v, n, None, sc=32,
+                                 has_missing=True)
+    np.testing.assert_allclose(np.asarray(mv0), X @ np.asarray(v),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_grouped_sweep_planes_vs_decode_statistics():
+    """The plane and decode-tile GEMVs differ only in float summation order;
+    posterior summaries of the grouped sweep must agree."""
+    gm, pm, X, y, beta_true = _make_problem(n=160, p=128, b=8, gb=4, seed=2,
+                                            signal=0.1)
+    st = _init(128, y)
+    key = jax.random.PRNGKey(0)
+
+    def run(use_planes):
+        alpha, beta, delta, ycorr = (st["alpha"], st["beta"], st["delta"],
+                                     st["ycorr"])
+        acc = jnp.zeros((128,))
+        for i in range(120):
+            alpha, beta, delta, ycorr = gr.sweep_blocks_abc_grouped(
+                gm, alpha, beta, delta, ycorr, None, st["vare"],
+                st["var_eff"], st["pi"], jax.random.fold_in(key, i),
+                nreps=4, sync_every=4, use_planes=use_planes,
+                has_missing=False,
+            )
+            if i >= 40:
+                acc = acc + alpha
+        return np.asarray(acc / 80)
+
+    am_p = run(True)
+    am_d = run(False)
+    ebv_p = np.asarray(X) @ am_p
+    ebv_d = np.asarray(X) @ am_d
+    assert np.corrcoef(ebv_p, ebv_d)[0, 1] > 0.98
 
 
 def test_runmcmc_host_offload_end_to_end():

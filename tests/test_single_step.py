@@ -188,3 +188,48 @@ def test_apy_g_inverse_exactness():
     # core = everyone is always exact
     Ginv_full = apy_g_inverse(G, np.arange(c + m))
     np.testing.assert_allclose(Ginv_full, np.linalg.inv(G), atol=1e-8)
+
+
+def test_mt_ssbr_end_to_end(famdata):
+    """Two-trait single-step SSBR on the family data: the trait-generic SSBR
+    setup (reference SSBR.jl:8-54 is trait-agnostic) must produce the J
+    covariate + epsilon imputation-residual terms per trait and clear an EBV
+    accuracy floor for genotyped AND non-genotyped individuals."""
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    ids = famdata["ids"]
+    ph = famdata["phenotypes"].copy()
+    bv = pd.Series(np.asarray(famdata["true_bv"]), index=ids)
+    # second trait: same QTL signal scaled + correlated noise (rg=1 by
+    # construction through bv; re independent)
+    y2 = 0.8 * bv.loc[ph["ID"]].to_numpy() + rng.normal(
+        0, bv.std() * 0.9, len(ph)
+    )
+    ph = ph.rename(columns={ph.columns[1]: "y1"})
+    ph["y2"] = y2
+
+    genotyped = set(rng.choice(ids, size=int(0.6 * len(ids)), replace=False))
+    geno_df = famdata["genotypes"]
+    geno_df = geno_df[geno_df["ID"].isin(genotyped)]
+    ped = get_pedigree(famdata["pedigree"])
+    geno = get_genotypes(geno_df, method="BayesC", name="geno")
+    model = build_model("y1 = intercept + geno\ny2 = intercept + geno",
+                        genotypes=geno)
+    out = runMCMC(model, ph, chain_length=600, burnin=120, seed=3,
+                  single_step_analysis=True, pedigree=ped, output_folder="")
+
+    # J covariate and epsilon terms present per trait in the location table
+    loc = out["location parameters"]
+    effs = set(zip(loc.Trait, loc.Effect))
+    assert ("y1", "J") in effs and ("y2", "J") in effs
+    assert ("y1", "ϵ") in effs and ("y2", "ϵ") in effs
+
+    for trait in ("y1", "y2"):
+        ebv = out[f"EBV_{trait}"].set_index("ID")["EBV"]
+        common = [s for s in ids if s in ebv.index]
+        acc = np.corrcoef(ebv.loc[common], bv.loc[common])[0, 1]
+        assert acc > 0.35, f"MT-SSBR {trait} overall accuracy {acc:.3f}"
+        non_g = [s for s in common if s not in genotyped]
+        acc_n = np.corrcoef(ebv.loc[non_g], bv.loc[non_g])[0, 1]
+        assert acc_n > 0.25, f"MT-SSBR {trait} non-genotyped accuracy {acc_n:.3f}"
