@@ -351,9 +351,13 @@ def sweep_blocks_abc_grouped(gm: GroupedPackedMarkers, alpha, beta, delta,
     xpx_b = mk._to_jmajor(gm.xpx, nblocks, b)
 
     def group_fn(carry, g):
-        alpha_b, beta_b, delta_b, ycorr = carry
-        rows = _stage(
-            jax.lax.dynamic_slice(gm.store, (g, 0, 0), (1, G, bpm))[0],
+        # software pipelining: `rows` (group g) was staged by the PREVIOUS
+        # iteration; this iteration starts the H2D copy of group g+1, which
+        # XLA's latency-hiding scheduler overlaps with the compute below
+        alpha_b, beta_b, delta_b, ycorr, rows = carry
+        g_next = jnp.minimum(g + 1, ngroups - 1)
+        rows_next = _stage(
+            jax.lax.dynamic_slice(gm.store, (g_next, 0, 0), (1, G, bpm))[0],
             host_store,
         )
         mns = jax.lax.dynamic_slice(gm.means, (g * G,), (G,))
@@ -423,15 +427,20 @@ def sweep_blocks_abc_grouped(gm: GroupedPackedMarkers, alpha, beta, delta,
             x, v, (0, g * gb)
         )
         return (put(alpha_b, a_g), put(beta_b, be_g),
-                put(delta_b, d_g), ycorr), None
+                put(delta_b, d_g), ycorr, rows_next), None
 
+    rows0 = _stage(
+        jax.lax.dynamic_slice(gm.store, (0, 0, 0), (1, G, bpm))[0],
+        host_store,
+    )
     carry0 = (
         mk._to_jmajor(alpha, nblocks, b),
         mk._to_jmajor(beta, nblocks, b),
         mk._to_jmajor(delta, nblocks, b),
         ycorr,
+        rows0,
     )
-    (alpha_b, beta_b, delta_b, ycorr), _ = jax.lax.scan(
+    (alpha_b, beta_b, delta_b, ycorr, _), _ = jax.lax.scan(
         group_fn, carry0, jnp.arange(ngroups)
     )
     return (
