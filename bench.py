@@ -212,11 +212,13 @@ def _build_northstar(jax, jnp, n, p, block, gb, dtype):
     beta_true = valid * jax.random.normal(ke, (p_pad,)) * jnp.where(
         jax.random.uniform(ke, (p_pad,)) < 0.001, 1.0, 0.0
     )
-    y = grouped_matvec(gm, beta_true.astype(dtype), n_obs=n, host_store=host,
+    g = grouped_matvec(gm, beta_true.astype(dtype), n_obs=n, host_store=host,
                        has_missing=False)
-    y = y + jax.random.normal(ke, (n,)).astype(dtype)
+    # h2 = 0.5: residual sd matched to the realized genetic sd (an h2 ~ 1
+    # synthetic is numerically pathological for ANY blocked sampler)
+    y = g + jax.random.normal(ke, (n,)).astype(dtype) * jnp.std(g)
     y = y - jnp.mean(y)
-    return gm, y, host
+    return gm, y, host, g
 
 
 def run_northstar(jax, jnp):
@@ -241,13 +243,16 @@ def run_northstar(jax, jnp):
     dtype = jnp.float32
 
     t_all = time.perf_counter()
-    gm, y, host = _build_northstar(jax, jnp, n, p, block, gbk, dtype)
+    gm, y, host, tbv = _build_northstar(jax, jnp, n, p, block, gbk, dtype)
     p_pad = gm.xpx.shape[0]
     nblocks = gm.grams.shape[2]
 
     K = 1
     W = jnp.ones((n, K), dtype)
-    vary_analytic = float(0.001 * p * 0.42 + 1.0)
+    # h2=0.5 synthetic: genetic var ~ 0.001*p*0.42 (Binomial(2,f) variance,
+    # E[2f(1-f)] ~ 0.42 for f ~ U(0.1, 0.9)), residual var matched to it
+    genvar = 0.001 * p * 0.42
+    vary_analytic = float(2.0 * genvar)
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and gbk % 128 == 0
 
     cfg = STEngineCfg(
@@ -267,15 +272,15 @@ def run_northstar(jax, jnp):
         out_geno=jnp.zeros((0, p), dtype), out_W=jnp.zeros((0, K), dtype),
         packed=gm.store, packed_means=gm.means, row_perm=gm.row_perm,
     )
-    pi0 = jnp.where(gm.valid > 0, 0.95, 1.0).astype(dtype)
+    pi0 = jnp.where(gm.valid > 0, 0.999, 1.0).astype(dtype)
     state = ChainState(
         key=jax.random.PRNGKey(42), sol=jnp.zeros((K,), dtype),
         alpha=jnp.zeros((p_pad,), dtype), beta=jnp.zeros((p_pad,), dtype),
         delta=jnp.where(gm.valid > 0, 1, 0).astype(jnp.int32),
         gamma_l=jnp.ones((p_pad,), dtype),
         ycorr=y, vare=jnp.asarray(vary_analytic * 0.5, dtype),
-        varg=jnp.asarray(0.01, dtype), pi=pi0,
-        scale_g=jnp.asarray(0.005, dtype), vc=(),
+        varg=jnp.asarray(0.5, dtype), pi=pi0,
+        scale_g=jnp.asarray(0.25, dtype), vc=(),
     )
 
     run_window = make_run_window(cfg)
@@ -299,6 +304,15 @@ def run_northstar(jax, jnp):
     chain_s = t_compile_and_first + dt_rest   # conservative: includes compile
     full_s = time.perf_counter() - t_all
     effective = p * nreps * n_outer
+
+    # statistical sanity of the timed chain: EBV from the running posterior
+    # mean of alpha vs the simulated true breeding values (h2=0.5 synthetic)
+    from jwas_tpu.ops.grouped import grouped_matvec as _gmv
+
+    ebv = _gmv(gm, accum.alpha_m, n_obs=n, host_store=host, has_missing=False)
+    import numpy as _np
+
+    ebv_acc = float(_np.corrcoef(_np.asarray(ebv), _np.asarray(tbv))[0, 1])
     rate = effective / chain_s
     print(
         json.dumps(
@@ -317,6 +331,7 @@ def run_northstar(jax, jnp):
         f"chain={chain_s:.1f}s full_run={full_s:.1f}s "
         f"vs_reference_3449s={3449.0/full_s:.1f}x_full "
         f"{3449.0*(nreps*n_outer)/2000.0/chain_s:.1f}x_chain "
+        f"ebv_accuracy={ebv_acc:.3f} "
         f"pallas={use_pallas} device={jax.devices()[0]}",
         file=sys.stderr,
     )

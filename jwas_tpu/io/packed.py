@@ -135,14 +135,22 @@ class Packed2BitStore:
         os.replace(mtmp, path + ".manifest.json")
 
     @staticmethod
-    def load(path: str) -> "Packed2BitStore":
+    def load(path: str, mmap: bool = False) -> "Packed2BitStore":
+        """mmap=True memory-maps the .j2b file instead of reading it into
+        RAM: downstream staging (e.g. the grouped out-of-core builder's
+        numpy -> pinned-host device_put) then streams pages straight from
+        disk, so stores larger than free RAM remain loadable."""
         with open(path + ".manifest.json") as f:
             man = json.load(f)
         if man.get("format") != "jwas_tpu-2bit-v1":
             raise ValueError(f"unrecognized packed-store format in {path}")
         n, p = int(man["n_obs"]), int(man["n_markers"])
         bpm = (n + 3) // 4
-        packed = np.fromfile(path + ".j2b", dtype=np.uint8)
+        if mmap:
+            packed = np.memmap(path + ".j2b", dtype=np.uint8, mode="r",
+                               shape=(p * bpm,))
+        else:
+            packed = np.fromfile(path + ".j2b", dtype=np.uint8)
         if packed.size != p * bpm:
             raise ValueError("packed store size mismatch with manifest")
         return Packed2BitStore(

@@ -311,7 +311,7 @@ def grouped_rhs(gm: GroupedPackedMarkers, w, host_store: bool = False,
 
 @partial(jax.jit, static_argnames=("nreps", "sync_every", "host_store",
                                    "use_pallas", "interpret", "use_planes",
-                                   "has_missing"))
+                                   "has_missing", "prefetch"))
 def sweep_blocks_abc_grouped(gm: GroupedPackedMarkers, alpha, beta, delta,
                              ycorr, rinv, vare, var_eff, pi, key,
                              nreps: int = 1, sync_every=None,
@@ -319,7 +319,8 @@ def sweep_blocks_abc_grouped(gm: GroupedPackedMarkers, alpha, beta, delta,
                              use_pallas: bool = False,
                              interpret: bool = False,
                              use_planes: bool = True,
-                             has_missing: bool = True):
+                             has_missing: bool = True,
+                             prefetch: bool = False):
     """Group-sequential fast-blocks BayesA/B/C sweep over the grouped store.
 
     Identical per-marker math to sweep_blocks_abc_packed (BayesABC block
@@ -351,15 +352,22 @@ def sweep_blocks_abc_grouped(gm: GroupedPackedMarkers, alpha, beta, delta,
     xpx_b = mk._to_jmajor(gm.xpx, nblocks, b)
 
     def group_fn(carry, g):
-        # software pipelining: `rows` (group g) was staged by the PREVIOUS
-        # iteration; this iteration starts the H2D copy of group g+1, which
-        # XLA's latency-hiding scheduler overlaps with the compute below
-        alpha_b, beta_b, delta_b, ycorr, rows = carry
-        g_next = jnp.minimum(g + 1, ngroups - 1)
-        rows_next = _stage(
-            jax.lax.dynamic_slice(gm.store, (g_next, 0, 0), (1, G, bpm))[0],
-            host_store,
-        )
+        if prefetch:
+            # software pipelining: `rows` (group g) was staged by the
+            # PREVIOUS iteration; this iteration starts the H2D copy of
+            # group g+1 for overlap with the compute below
+            alpha_b, beta_b, delta_b, ycorr, rows = carry
+            g_next = jnp.minimum(g + 1, ngroups - 1)
+            rows_next = _stage(
+                jax.lax.dynamic_slice(gm.store, (g_next, 0, 0), (1, G, bpm))[0],
+                host_store,
+            )
+        else:
+            alpha_b, beta_b, delta_b, ycorr = carry
+            rows = _stage(
+                jax.lax.dynamic_slice(gm.store, (g, 0, 0), (1, G, bpm))[0],
+                host_store,
+            )
         mns = jax.lax.dynamic_slice(gm.means, (g * G,), (G,))
 
         lane = lambda x: jax.lax.dynamic_slice(  # noqa: E731
@@ -426,23 +434,26 @@ def sweep_blocks_abc_grouped(gm: GroupedPackedMarkers, alpha, beta, delta,
         put = lambda x, v: jax.lax.dynamic_update_slice(  # noqa: E731
             x, v, (0, g * gb)
         )
-        return (put(alpha_b, a_g), put(beta_b, be_g),
-                put(delta_b, d_g), ycorr, rows_next), None
+        out_carry = (put(alpha_b, a_g), put(beta_b, be_g),
+                     put(delta_b, d_g), ycorr)
+        if prefetch:
+            out_carry = out_carry + (rows_next,)
+        return out_carry, None
 
-    rows0 = _stage(
-        jax.lax.dynamic_slice(gm.store, (0, 0, 0), (1, G, bpm))[0],
-        host_store,
-    )
     carry0 = (
         mk._to_jmajor(alpha, nblocks, b),
         mk._to_jmajor(beta, nblocks, b),
         mk._to_jmajor(delta, nblocks, b),
         ycorr,
-        rows0,
     )
-    (alpha_b, beta_b, delta_b, ycorr, _), _ = jax.lax.scan(
-        group_fn, carry0, jnp.arange(ngroups)
-    )
+    if prefetch:
+        rows0 = _stage(
+            jax.lax.dynamic_slice(gm.store, (0, 0, 0), (1, G, bpm))[0],
+            host_store,
+        )
+        carry0 = carry0 + (rows0,)
+    out_carry, _ = jax.lax.scan(group_fn, carry0, jnp.arange(ngroups))
+    alpha_b, beta_b, delta_b, ycorr = out_carry[:4]
     return (
         mk._from_jmajor(alpha_b),
         mk._from_jmajor(beta_b),

@@ -193,3 +193,16 @@ def test_low_memory_requires_path_and_save(tmp_path):
     df.to_csv(csv, index=False)
     with pytest.raises(ValueError):
         prepare_packed_genotypes(csv, low_memory=True)
+
+
+def test_load_mmap_matches_ram(tmp_path):
+    """mmap=True loads the .j2b as a memory map (for stores larger than free
+    RAM); contents and downstream decode are identical to the RAM load."""
+    df, _ = _geno_df(n=52, p=24, seed=19)
+    path = str(tmp_path / "geno")
+    prepare_packed_genotypes(df, save_path=path)
+    ram = Packed2BitStore.load(path)
+    mm = Packed2BitStore.load(path, mmap=True)
+    assert isinstance(mm.packed, np.memmap)
+    np.testing.assert_array_equal(np.asarray(mm.packed), ram.packed)
+    np.testing.assert_allclose(mm.decode([0, 3]), ram.decode([0, 3]), atol=0)
