@@ -244,7 +244,39 @@ def make_st_step(cfg: EngineCfg):
                     jnp.broadcast_to(pi[None, :], (data.valid.shape[0], 4)),
                     jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dtype)[None, :],
                 )
-            if cfg.use_blocks:
+            if cfg.is_packed and cfg.grouped:
+                from jwas_tpu.ops.grouped import (
+                    GroupedPackedMarkers,
+                    sweep_blocks_bayesr_grouped,
+                )
+
+                gm = GroupedPackedMarkers(
+                    data.packed, data.packed_means, data.row_perm,
+                    data.xpx, data.grams, data.valid,
+                )
+                interp = jax.default_backend() not in ("tpu", "axon")
+                alpha, delta, ycorr = sweep_blocks_bayesr_grouped(
+                    gm, alpha, delta, ycorr, rinv, state.vare, varg, pi_mat,
+                    k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                    host_store=cfg.host_offload, use_pallas=cfg.use_pallas,
+                    interpret=interp, has_missing=cfg.has_missing_codes,
+                )
+            elif cfg.is_packed:
+                from jwas_tpu.ops.packed import (
+                    PackedMarkers,
+                    sweep_blocks_bayesr_packed,
+                )
+
+                pm = PackedMarkers(
+                    data.packed, data.packed_means, data.row_perm,
+                    data.xpx, data.grams, data.valid,
+                )
+                alpha, delta, ycorr = sweep_blocks_bayesr_packed(
+                    pm, alpha, delta, ycorr, rinv, state.vare, varg, pi_mat,
+                    k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                    host_store=cfg.host_offload,
+                )
+            elif cfg.use_blocks:
                 alpha, delta, ycorr = mk.sweep_blocks_bayesr(
                     mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
                     alpha, delta, ycorr, rinv, state.vare, varg, pi_mat, k_mark,

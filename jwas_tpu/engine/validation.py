@@ -79,8 +79,6 @@ RULES: List[Rule] = [
          "BayesR supports single-trait analysis only."),
     Rule(lambda c: c.method == "BayesR" and c.opts.RRM is not None,
          "BayesR does not support random regression model (RRM)."),
-    Rule(lambda c: c.method == "BayesR" and c.is_packed,
-         "BayesR supports dense storage only."),
     # --- annotated multi-trait BayesC (:67-72) ---
     Rule(lambda c: c.has_annotations and c.method == "BayesC"
          and c.n_traits > 2,
@@ -101,8 +99,9 @@ RULES: List[Rule] = [
          and c.n_traits > 1 and c.method not in ("BayesC", "BayesB"),
          "multi_trait_sampler overrides are supported for BayesC/BayesB only."),
     # --- packed 2-bit backend (:81-111; divergences documented above) ---
-    Rule(lambda c: c.is_packed and c.method not in ("BayesC", "BayesB"),
-         "storage='2bit' supports BayesC/BayesB only."),
+    Rule(lambda c: c.is_packed and c.method not in ("BayesC", "BayesB",
+                                                    "BayesR"),
+         "storage='2bit' supports BayesC/BayesB/BayesR only."),
     Rule(lambda c: c.is_packed and c.n_traits != 1,
          "storage='2bit' supports single-trait analysis only."),
     Rule(lambda c: c.is_packed and c.opts.double_precision,

@@ -255,12 +255,22 @@ def get_genotypes(
     from jwas_tpu.io.packed import Packed2BitStore
 
     if isinstance(file, Packed2BitStore) or storage == "2bit":
-        # packed backend (reference streaming constraints,
-        # input_data_validation.jl:81-111: single-trait spike-slab only)
-        if method not in ("BayesC", "BayesB"):
-            raise ValueError("storage='2bit' supports BayesC/BayesB only")
+        # packed backend: single-trait BayesC/B/R. The reference's streaming
+        # constraints are BayesC-only (input_data_validation.jl:81-111); the
+        # grouped sweeps here also run BayesB (per-marker variances) and the
+        # 4-class BayesR mixture out-of-core (ops/grouped.py).
+        if method not in ("BayesC", "BayesB", "BayesR"):
+            raise ValueError("storage='2bit' supports BayesC/BayesB/BayesR only")
         if annotations is not None:
             raise ValueError("annotations are not supported with storage='2bit'")
+        if method == "BayesR":
+            Pi = (_DEFAULT_BAYESR_PI.copy()
+                  if np.ndim(Pi) == 0 and Pi == 0.0
+                  else np.asarray(Pi, dtype=np.float64))
+            if Pi.shape != (4,):
+                raise ValueError("BayesR Pi must be a length-4 vector")
+            if not np.isclose(Pi.sum(), 1.0, atol=1e-8) or (Pi < 0).any():
+                raise ValueError("BayesR Pi must be nonnegative and sum to 1")
         if isinstance(file, Packed2BitStore):
             store = file
         else:

@@ -462,6 +462,145 @@ def sweep_blocks_abc_grouped(gm: GroupedPackedMarkers, alpha, beta, delta,
     )
 
 
+@partial(jax.jit, static_argnames=("nreps", "sync_every", "host_store",
+                                   "use_pallas", "interpret", "use_planes",
+                                   "has_missing", "prefetch"))
+def sweep_blocks_bayesr_grouped(gm: GroupedPackedMarkers, alpha, delta,
+                                ycorr, rinv, vare, sigma_sq, pi, key,
+                                nreps: int = 1, sync_every=None,
+                                host_store: bool = False,
+                                use_pallas: bool = False,
+                                interpret: bool = False,
+                                use_planes: bool = True,
+                                has_missing: bool = True,
+                                prefetch: bool = False):
+    """Group-sequential fast-blocks BayesR sweep over the grouped store.
+
+    The 4-class mixture update (BayesR.jl:45-97) with the out-of-core
+    schedule of sweep_blocks_abc_grouped: groups walk sequentially (exact
+    across groups), sync rounds bound staleness within a group, and the
+    store streams from pinned host exactly once per call. A capability the
+    reference does not have — its streaming backend is single-trait BayesC
+    only (input_data_validation.jl:81-111). pi: (p_pad, 4) class priors
+    (padded rows [1,0,0,0]); delta: (p_pad,) int32 class labels.
+    Key convention matches the ABC grouped sweep: per-group fold_in(key, g).
+    """
+    ngroups, G, bpm = gm.store.shape
+    b, _, nblocks = gm.grams.shape
+    gb = nblocks // ngroups
+    dtype = ycorr.dtype
+    n_obs = ycorr.shape[0]
+    sc = (_sub_chunk_planes(G, b, bpm) if use_planes
+          else _sub_chunk(G, b, n_obs))
+    inv_vare = 1.0 / vare
+
+    log_pi_full = jnp.transpose(
+        jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0)).reshape(nblocks, b, 4),
+        (1, 0, 2),
+    )  # (b, nblocks, 4)
+    xpx_b = mk._to_jmajor(gm.xpx, nblocks, b)
+
+    def group_fn(carry, g):
+        if prefetch:
+            alpha_b, delta_b, ycorr, rows = carry
+            g_next = jnp.minimum(g + 1, ngroups - 1)
+            rows_next = _stage(
+                jax.lax.dynamic_slice(gm.store, (g_next, 0, 0), (1, G, bpm))[0],
+                host_store,
+            )
+        else:
+            alpha_b, delta_b, ycorr = carry
+            rows = _stage(
+                jax.lax.dynamic_slice(gm.store, (g, 0, 0), (1, G, bpm))[0],
+                host_store,
+            )
+        mns = jax.lax.dynamic_slice(gm.means, (g * G,), (G,))
+
+        grams_g = jax.lax.dynamic_slice(gm.grams, (0, 0, g * gb), (b, b, gb))
+        xpx_g = jax.lax.dynamic_slice(xpx_b, (0, g * gb), (b, gb))
+        log_pi_g = jax.lax.dynamic_slice(log_pi_full, (0, g * gb, 0),
+                                         (b, gb, 4))
+
+        def step(c, inp):
+            a_g, d_g, rhs_g = c
+            j, gu, z = inp
+            a_j = a_g[j]
+            a_new, k_new = mk._bayesr_update(
+                rhs_g[j], a_j, xpx_g[j], inv_vare, sigma_sq, log_pi_g[j],
+                gu, z,
+            )
+            rhs_g = rhs_g + (a_j - a_new)[None, :] * grams_g[j]
+            return (a_g.at[j].set(a_new), d_g.at[j].set(k_new), rhs_g)
+
+        def round_fn(stt, kr, reps):
+            a_g, d_g, yc = stt
+            w = yc if rinv is None else rinv * yc
+            if use_planes:
+                w_pad = _pad_w(w, bpm, gm.row_perm)
+                rhs_flat = _tile_rhs_planes(rows, mns, w_pad, sc, has_missing)
+            else:
+                rhs_flat = _tile_rhs(rows, mns, gm.row_perm, w, n_obs, sc)
+            rhs0 = mk._to_jmajor(rhs_flat, gb, b)
+            kg, kz = jax.random.split(kr)
+            a_start = a_g
+            if use_pallas:
+                from jwas_tpu.ops.pallas_sweep import bayesr_inner_rounds_pallas
+
+                a_g, d_g, _ = bayesr_inner_rounds_pallas(
+                    grams_g, xpx_g, log_pi_g, a_g, d_g, rhs0,
+                    inv_vare, sigma_sq, kg, kz,
+                    nreps=reps, interpret=interpret,
+                )
+            else:
+                gum = jax.random.gumbel(kg, (reps * b, gb, 4), dtype=dtype)
+                zs = jax.random.normal(kz, (reps * b, gb), dtype=dtype)
+                a_g, d_g, _ = mk._blocked_round(
+                    None, step, (a_g, d_g, rhs0), (gum, zs), reps, b
+                )
+            d_alpha = mk._from_jmajor(a_start - a_g)
+            if use_planes:
+                yc = yc + _tile_matvec_planes(rows, mns, d_alpha, n_obs,
+                                              gm.row_perm, sc, has_missing)
+            else:
+                yc = yc + _tile_matvec(rows, mns, gm.row_perm, d_alpha,
+                                       n_obs, sc)
+            return (a_g, d_g, yc)
+
+        state_g = (jax.lax.dynamic_slice(alpha_b, (0, g * gb), (b, gb)),
+                   jax.lax.dynamic_slice(delta_b, (0, g * gb), (b, gb)),
+                   ycorr)
+        key_g = jax.random.fold_in(key, g)
+        a_g, d_g, ycorr = mk._sync_rounds(
+            nreps, sync_every, key_g, round_fn, state_g
+        )
+        put = lambda x, v: jax.lax.dynamic_update_slice(  # noqa: E731
+            x, v, (0, g * gb)
+        )
+        out_carry = (put(alpha_b, a_g), put(delta_b, d_g), ycorr)
+        if prefetch:
+            out_carry = out_carry + (rows_next,)
+        return out_carry, None
+
+    carry0 = (
+        mk._to_jmajor(alpha, nblocks, b),
+        mk._to_jmajor(delta, nblocks, b),
+        ycorr,
+    )
+    if prefetch:
+        rows0 = _stage(
+            jax.lax.dynamic_slice(gm.store, (0, 0, 0), (1, G, bpm))[0],
+            host_store,
+        )
+        carry0 = carry0 + (rows0,)
+    out_carry, _ = jax.lax.scan(group_fn, carry0, jnp.arange(ngroups))
+    alpha_b, delta_b, ycorr = out_carry[:3]
+    return (
+        mk._from_jmajor(alpha_b),
+        mk._from_jmajor(delta_b),
+        ycorr,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Builders: grouped store materialization + streamed Gram precompute.
 # ---------------------------------------------------------------------------

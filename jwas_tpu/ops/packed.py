@@ -236,6 +236,72 @@ def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
     )
 
 
+@partial(jax.jit, static_argnames=("nreps", "sync_every", "chunk", "host_store"))
+def sweep_blocks_bayesr_packed(pm: PackedMarkers, alpha, delta, ycorr,
+                               rinv, vare, sigma_sq, pi, key, nreps: int = 1,
+                               sync_every=None, chunk: int = 0,
+                               host_store: bool = False):
+    """Fast-blocks BayesR 4-class sweep over the packed store.
+
+    Identical math to markers.sweep_blocks_bayesr (BayesR.jl:99-193) with the
+    O(n*p) sync GEMVs streaming decoded tiles from the 2-bit store — the
+    configuration the reference cannot run (its streaming backend is
+    BayesC-only, input_data_validation.jl:81-111). pi: (p_pad, 4) class
+    priors (padded rows [1,0,0,0]); delta: (p_pad,) int32 class labels.
+    """
+    from jwas_tpu.ops import markers as mk
+
+    b = pm.grams.shape[0]
+    nblocks = pm.grams.shape[2]
+    dtype = ycorr.dtype
+    inv_vare = 1.0 / vare
+    log_pi = jnp.transpose(
+        jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0)).reshape(nblocks, b, 4),
+        (1, 0, 2),
+    )  # (b, nblocks, 4)
+    xpx_b = mk._to_jmajor(pm.xpx, nblocks, b)
+
+    def step(carry, inp):
+        alpha_b, delta_b, rhs_b = carry
+        j, g, z = inp
+        a_j = alpha_b[j]
+        a_new, k_new = mk._bayesr_update(
+            rhs_b[j], a_j, xpx_b[j], inv_vare, sigma_sq, log_pi[j], g, z
+        )
+        rhs_b = rhs_b + (a_j - a_new)[None, :] * pm.grams[j]
+        return (alpha_b.at[j].set(a_new), delta_b.at[j].set(k_new), rhs_b)
+
+    def round_fn(stt, kr, reps):
+        alpha_b, delta_b, ycorr = stt
+        w = ycorr if rinv is None else rinv * ycorr
+        rhs0 = mk._to_jmajor(
+            packed_rhs(pm, w, chunk=chunk, host_store=host_store), nblocks, b
+        )
+        kg, kz = jax.random.split(kr)
+        gum = jax.random.gumbel(kg, (reps * b, nblocks, 4), dtype=dtype)
+        zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
+        alpha_start = alpha_b
+        alpha_b, delta_b, _ = mk._blocked_round(
+            None, step, (alpha_b, delta_b, rhs0), (gum, zs), reps, b
+        )
+        ycorr = ycorr + packed_matvec(
+            pm, mk._from_jmajor(alpha_start - alpha_b), chunk=chunk,
+            n_obs=ycorr.shape[0], host_store=host_store,
+        )
+        return (alpha_b, delta_b, ycorr)
+
+    alpha_b, delta_b, ycorr = mk._sync_rounds(
+        nreps, sync_every, key, round_fn,
+        (mk._to_jmajor(alpha, nblocks, b), mk._to_jmajor(delta, nblocks, b),
+         ycorr),
+    )
+    return (
+        mk._from_jmajor(alpha_b),
+        mk._from_jmajor(delta_b),
+        ycorr,
+    )
+
+
 def packed_markers_from_arrays(packed, means, valid, row_perm, n_obs: int,
                                block_size: int, rinv=None, dtype=jnp.float32,
                                gram_chunk: int = 8) -> PackedMarkers:

@@ -306,6 +306,135 @@ def test_runmcmc_host_offload_end_to_end():
     assert acc > 0.85, f"grouped out-of-core BayesC EBV accuracy {acc:.3f}"
 
 
+# ---------------------------------------------------------------------------
+# BayesR over the packed / grouped store (an engine capability beyond the
+# reference, whose streaming backend is BayesC-only:
+# input_data_validation.jl:81-111 vs BayesR.jl:45-97).
+# ---------------------------------------------------------------------------
+
+
+def _init_bayesr(p, y, pi4=(0.9, 0.05, 0.03, 0.02)):
+    dtype = jnp.float32
+    vy = float(np.var(np.asarray(y)))
+    pi_mat = jnp.tile(jnp.asarray(pi4, dtype)[None, :], (p, 1))
+    return dict(
+        alpha=jnp.zeros((p,), dtype), delta=jnp.zeros((p,), jnp.int32),
+        ycorr=jnp.asarray(y, dtype), vare=jnp.asarray(0.5 * vy, dtype),
+        sigma_sq=jnp.asarray(0.5 * vy / (p * 0.05), dtype), pi=pi_mat,
+    )
+
+
+def test_bayesr_packed_matches_dense_blocks():
+    """The packed BayesR sweep consumes the same draws as the dense blocked
+    sweep and must produce the same chain (decode(X) == dense X exactly)."""
+    from jwas_tpu.ops.packed import sweep_blocks_bayesr_packed
+
+    gm, pm, X, y, _ = _make_problem(n=48, p=64, b=8, gb=8)
+    st = _init_bayesr(64, y)
+    key = jax.random.PRNGKey(21)
+    md = mk.build_marker_blocks(X, block_size=8)
+    out_d = mk.sweep_blocks_bayesr(
+        md, st["alpha"], st["delta"], st["ycorr"], None, st["vare"],
+        st["sigma_sq"], st["pi"], key, nreps=4, sync_every=2,
+    )
+    out_p = sweep_blocks_bayesr_packed(
+        pm, st["alpha"], st["delta"], st["ycorr"], None, st["vare"],
+        st["sigma_sq"], st["pi"], key, nreps=4, sync_every=2,
+    )
+    np.testing.assert_array_equal(np.asarray(out_d[1]), np.asarray(out_p[1]))
+    for a, b_ in zip(out_d, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_bayesr_single_group_equals_flat_packed():
+    """One group: the grouped BayesR schedule IS the flat packed sweep
+    (key convention fold_in(key, 0), like the ABC sweeps)."""
+    from jwas_tpu.ops.packed import sweep_blocks_bayesr_packed
+
+    gm, pm, X, y, _ = _make_problem(n=48, p=64, b=8, gb=8)  # ngroups = 1
+    st = _init_bayesr(64, y)
+    key = jax.random.PRNGKey(13)
+    out_g = gr.sweep_blocks_bayesr_grouped(
+        gm, st["alpha"], st["delta"], st["ycorr"], None, st["vare"],
+        st["sigma_sq"], st["pi"], key, nreps=4, sync_every=2,
+        use_planes=False,
+    )
+    out_p = sweep_blocks_bayesr_packed(
+        pm, st["alpha"], st["delta"], st["ycorr"], None, st["vare"],
+        st["sigma_sq"], st["pi"], jax.random.fold_in(key, 0),
+        nreps=4, sync_every=2,
+    )
+    np.testing.assert_array_equal(np.asarray(out_g[1]), np.asarray(out_p[1]))
+    for a, b_ in zip(out_g, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_bayesr_grouped_host_store_bit_equal():
+    """host_store=True streams the same bits for the BayesR grouped sweep."""
+    gm, _, X, y, _ = _make_problem(n=40, p=128, b=8, gb=4)  # 4 groups
+    st = _init_bayesr(128, y)
+    key = jax.random.PRNGKey(7)
+    args = (st["alpha"], st["delta"], st["ycorr"], None, st["vare"],
+            st["sigma_sq"], st["pi"], key)
+    out_dev = gr.sweep_blocks_bayesr_grouped(gm, *args, nreps=3, sync_every=3)
+    gm_h = gm._replace(store=gr.to_host_memory(gm.store))
+    out_host = gr.sweep_blocks_bayesr_grouped(
+        gm_h, *args, nreps=3, sync_every=3,
+        host_store=gr.host_memory_supported(),
+    )
+    for a, b_ in zip(out_dev, out_host):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_bayesr_grouped_multigroup_accuracy():
+    """Sequential multi-group BayesR recovers the signal; class labels stay
+    in {0..3} and the spike class dominates under a sparse simulation."""
+    gm, pm, X, y, beta_true = _make_problem(n=160, p=128, b=8, gb=4, seed=2,
+                                            signal=0.1)
+    st = _init_bayesr(128, y)
+    key = jax.random.PRNGKey(0)
+    alpha, delta, ycorr = st["alpha"], st["delta"], st["ycorr"]
+    acc = jnp.zeros((128,))
+    for i in range(150):
+        alpha, delta, ycorr = gr.sweep_blocks_bayesr_grouped(
+            gm, alpha, delta, ycorr, None, st["vare"], st["sigma_sq"],
+            st["pi"], jax.random.fold_in(key, i), nreps=4, sync_every=4,
+        )
+        if i >= 50:
+            acc = acc + alpha
+    am = np.asarray(acc / 100)
+    d = np.asarray(delta)
+    assert d.min() >= 0 and d.max() <= 3
+    ebv = np.asarray(X) @ am
+    truth = np.asarray(X) @ beta_true
+    assert np.corrcoef(ebv, truth)[0, 1] > 0.8
+
+
+def test_runmcmc_packed_bayesr_end_to_end():
+    """runMCMC with storage='2bit' + BayesR routes through the packed BayesR
+    sweeps (grouped when host-offloaded) and recovers the signal."""
+    from jwas_tpu import build_model, get_genotypes, runMCMC
+    from jwas_tpu.io.datasets import simulate_genomic_data
+    from jwas_tpu.io.packed import prepare_packed_genotypes
+
+    sim = simulate_genomic_data(n=400, p=150, n_qtl=15, h2=0.6, seed=78)
+    store = prepare_packed_genotypes(sim["genotypes"])
+    for offload in (False, True):
+        geno = get_genotypes(store, method="BayesR", name="geno")
+        model = build_model("y = intercept + geno", genotypes=geno)
+        out = runMCMC(model, sim["phenotypes"], chain_length=600, burnin=150,
+                      seed=5, output_folder="",
+                      host_offload_genotypes=offload)
+        acc = np.corrcoef(out["EBV_y"].EBV, sim["true_bv"])[0, 1]
+        assert acc > 0.85, (
+            f"packed BayesR (offload={offload}) EBV accuracy {acc:.3f}"
+        )
+        pi = out["pi_geno"]
+        assert len(pi) == 4 and abs(pi["Estimate"].sum() - 1.0) < 0.05
+
+
 def test_materialize_grouped_host_roundtrip():
     def gen(g):
         return jax.random.randint(

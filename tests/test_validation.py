@@ -104,10 +104,20 @@ def test_packed_categorical_rejected():
     _expect("continuous traits only", model, df=df)
 
 
-def test_packed_bayesr_rejected_at_load():
+def test_packed_rrblup_rejected_at_load():
     store = prepare_packed_genotypes(SIM["genotypes"])
-    with pytest.raises(ValueError, match="BayesC/BayesB only"):
-        get_genotypes(store, 1.0, method="BayesR", name="geno")
+    with pytest.raises(ValueError, match="BayesC/BayesB/BayesR only"):
+        get_genotypes(store, 1.0, method="RR-BLUP", name="geno")
+
+
+def test_packed_bayesr_accepted_at_load():
+    """BayesR + 2-bit storage is admitted (an engine capability beyond the
+    reference's BayesC-only streaming backend) with the default class Pi."""
+    store = prepare_packed_genotypes(SIM["genotypes"])
+    g = get_genotypes(store, 1.0, method="BayesR", name="geno")
+    assert g.packed_store is not None
+    pi = np.asarray(g.pi)
+    assert pi.shape == (4,) and np.isclose(pi.sum(), 1.0)
 
 
 def test_mt_scalar_pi_rejected():

@@ -75,8 +75,6 @@ VIOLATIONS = {
         _model(_geno(method="BayesR", pi=PI_OK), n_traits=2), _opts()),
     "BayesR does not support random regression model (RRM).": (
         _model(_geno(method="BayesR")), _opts(RRM=np.eye(3))),
-    "BayesR supports dense storage only.": (
-        _model(_geno(method="BayesR", packed_store=object())), _opts()),
     "Annotated multi-trait BayesC currently supports exactly 2 traits.": (
         _model(_geno(annotations=object(), pi=PI_OK), n_traits=3), _opts()),
     "Annotated multi-trait BayesC supports constraint=false only.": (
@@ -92,7 +90,7 @@ VIOLATIONS = {
     "multi_trait_sampler overrides are supported for BayesC/BayesB only.": (
         _model(_geno(method="RR-BLUP", multi_trait_sampler="II"), n_traits=2),
         _opts()),
-    "storage='2bit' supports BayesC/BayesB only.": (
+    "storage='2bit' supports BayesC/BayesB/BayesR only.": (
         _model(_geno(method="RR-BLUP", packed_store=object())), _opts()),
     "storage='2bit' supports single-trait analysis only.": (
         _model(_geno(packed_store=object(), pi=PI_OK), n_traits=2), _opts()),
