@@ -978,25 +978,30 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     return cfg, data, state
 
 
-def _warn_multichain_unsupported(opts):
-    """The multichain drivers do not implement prior updating or
-    checkpointing yet; a user combining them with n_chains>1 must hear about
-    it rather than get silent no-effect (resume is vetoed by the admission
-    matrix)."""
-    import warnings
-
-    ignored = []
-    if int(opts.update_priors_frequency or 0) > 0:
-        ignored.append("update_priors_frequency")
-    if opts.checkpoint_frequency and int(opts.checkpoint_frequency) > 0:
-        ignored.append("checkpoint_frequency")
-    if opts.checkpoint_folder:
-        ignored.append("checkpoint_folder")
-    if ignored:
-        warnings.warn(
-            f"n_chains>1 does not support {', '.join(ignored)} yet; "
-            "these options are ignored for this run."
+def _apply_update_priors_mc(cfg, data: STData, states, accums):
+    """Multichain empirical-Bayes prior refresh (the n_chains>1 form of
+    _apply_update_priors). Per-chain state priors (the marker-variance scale)
+    refresh from each chain's own running means — states/accums carry a
+    leading chain axis, so the same elementwise update applies. The shared
+    STData prior scales (residual scale, VC scales) are refreshed from the
+    POOLED (across-chain mean) running means: chains stay exchangeable and
+    the pooled estimate is the lower-variance one. Documented divergence from
+    running K independent single-chain refreshes."""
+    if cfg.method not in ("BayesB", "none"):
+        states = states._replace(
+            scale_g=accums.varg_m * (cfg.df_marker - 2.0) / cfg.df_marker
         )
+    vc_scale = list(data.vc_scale)
+    for g, grp in enumerate(cfg.re_groups):
+        if grp.random_type == "A":
+            k = len(grp.starts)
+            vc_scale[g] = jnp.mean(accums.vc_m[g], axis=0) * (grp.df - k - 1.0)
+    data = data._replace(
+        vc_scale=tuple(vc_scale),
+        scale_r=jnp.mean(accums.vare_m)
+        * (cfg.df_residual - 2.0) / cfg.df_residual,
+    )
+    return data, states
 
 
 def _run_multichain(ws, cfg, data, state, opts):
@@ -1009,7 +1014,6 @@ def _run_multichain(ws, cfg, data, state, opts):
     dict gains a PSRF table computed from the per-chain samples.
     """
     K = int(opts.n_chains)
-    _warn_multichain_unsupported(opts)
     seed = opts.seed if opts.seed is not None else 0
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seed, seed + K))
 
@@ -1019,6 +1023,49 @@ def _run_multichain(ws, cfg, data, state, opts):
     states = jax.tree.map(stack, state)._replace(key=keys)
     accum0 = _init_accum(cfg, data, state)
     accums = jax.tree.map(stack, accum0)
+
+    nreps = cfg.nreps
+    n_outer = max(1, opts.chain_length // nreps)
+    burnin_outer = opts.burnin // nreps
+    osf = opts.output_samples_frequency
+    if osf <= 0:
+        osf = max(1, opts.chain_length // 1000)
+    thin_outer = max(1, osf // nreps)
+    n_saved = max(1, (n_outer - burnin_outer) // thin_outer)
+
+    chain_samples = {"vare": [], "h2": [], "genvar": [], "varg": []}
+    chain_pi = []
+    samples = {"vare": [], "varg": [], "pi": [], "genvar": [], "h2": []}
+    upf = int(opts.update_priors_frequency or 0)
+    prior_epoch = 0
+    w0 = 0
+
+    # checkpoint/resume: the stacked multichain (states, accums) is one
+    # pytree, so the single-chain machinery applies verbatim; resume loads
+    # host-side BEFORE mesh sharding so shardings re-apply identically
+    from jwas_tpu.utils import checkpoint as ckpt
+
+    ck_folder = opts.checkpoint_folder or os.path.join(
+        opts.output_folder or "results", "checkpoint"
+    )
+    ck_every_w = 0
+    if opts.checkpoint_frequency and int(opts.checkpoint_frequency) > 0:
+        ck_every_w = max(1, int(opts.checkpoint_frequency) // (thin_outer * nreps))
+    resumed = False
+    if opts.resume:
+        path = ckpt.latest_checkpoint(ck_folder)
+        if path is not None:
+            template = (states, accums, data.vc_scale, data.scale_r)
+            (states, accums, vc_scale, scale_r), smp, meta = ckpt.load_checkpoint(
+                path, template
+            )
+            data = data._replace(vc_scale=vc_scale, scale_r=scale_r)
+            samples = {k: smp.get(k, []) for k in samples}
+            chain_samples = {k: smp.get(f"c_{k}", []) for k in chain_samples}
+            chain_pi = smp.get("c_pi", [])
+            prior_epoch = int(meta["prior_epoch"])
+            w0 = int(meta["w_next"])
+            resumed = True
 
     mesh = opts.mesh
     if mesh is not None:
@@ -1035,34 +1082,27 @@ def _run_multichain(ws, cfg, data, state, opts):
     rw = make_run_window(cfg)
     mc = jax.vmap(rw, in_axes=(0, None, 0, None, None))
 
-    nreps = cfg.nreps
-    n_outer = max(1, opts.chain_length // nreps)
-    burnin_outer = opts.burnin // nreps
-    osf = opts.output_samples_frequency
-    if osf <= 0:
-        osf = max(1, opts.chain_length // 1000)
-    thin_outer = max(1, osf // nreps)
-    n_saved = max(1, (n_outer - burnin_outer) // thin_outer)
-
     # chain-0 streams the top-level sample-file set (parity with the MT
     # multichain driver, mcmc_mt.py); output_chain_samples=True additionally
     # writes every chain's files under chain_<k>/ for PSRF_per_parameter
     from jwas_tpu.engine.progress import ProgressPrinter
     from jwas_tpu.engine.samples_io import STSampleStream, multichain_streams
 
-    stream = STSampleStream(ws, cfg, opts, append=False)
-    chain_streams = multichain_streams(STSampleStream, ws, cfg, opts, K)
+    stream = STSampleStream(ws, cfg, opts, append=resumed)
+    chain_streams = multichain_streams(STSampleStream, ws, cfg, opts, K,
+                                       append=resumed)
     progress = ProgressPrinter(opts.printout_frequency, opts.chain_length)
 
-    if burnin_outer > 0:
+    if burnin_outer > 0 and not resumed:
         states, accums, _ = mc(states, data, accums, burnin_outer, False)
 
-    chain_samples = {"vare": [], "h2": [], "genvar": [], "varg": []}
-    chain_pi = []
-    samples = {"vare": [], "varg": [], "pi": [], "genvar": [], "h2": []}
     need_states = stream.enabled or chain_streams
-    for w in range(n_saved):
+    for w in range(w0, n_saved):
         states, accums, out = mc(states, data, accums, thin_outer, True)
+        iters_done = (burnin_outer + (w + 1) * thin_outer) * nreps
+        if upf > 0 and iters_done // upf > prior_epoch:
+            prior_epoch = iters_done // upf
+            data, states = _apply_update_priors_mc(cfg, data, states, accums)
         # ONE batched device->host transfer per saved window (out for the
         # scalar tracks; states only when sample files are being written)
         if need_states:
@@ -1091,9 +1131,20 @@ def _run_multichain(ws, cfg, data, state, opts):
             for k, cs in enumerate(chain_streams):
                 sk, ok = (s0, o0) if k == 0 else chain_view(k)
                 cs.write_sample(sk, ok)
-        progress.update((burnin_outer + (w + 1) * thin_outer) * nreps,
+        progress.update(iters_done,
                         vare=out_h.vare[0], varg=out_h.varg_mean[0],
                         pi=out_h.pi_summary[0])
+        if ck_every_w and (w + 1) % ck_every_w == 0:
+            ck_samples = dict(samples)
+            ck_samples.update({f"c_{k}": v for k, v in chain_samples.items()})
+            ck_samples["c_pi"] = chain_pi
+            ckpt.save_checkpoint(
+                ck_folder, iters_done,
+                (states, accums, data.vc_scale, data.scale_r),
+                ck_samples,
+                {"w_next": w + 1, "prior_epoch": prior_epoch},
+                keep=opts.checkpoint_keep,
+            )
     stream.close()
     for cs in chain_streams:
         cs.close()

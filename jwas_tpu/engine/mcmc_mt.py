@@ -952,9 +952,6 @@ def _run_mt_multichain(ws, model, cfg, data, state, opts):
     for h², genetic variance, and residual variance. When opts.mesh has a
     'chain'/'chains' axis, chains shard across it."""
     K = int(opts.n_chains)
-    from jwas_tpu.engine.mcmc import _warn_multichain_unsupported
-
-    _warn_multichain_unsupported(opts)
     seed = opts.seed if opts.seed is not None else 0
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seed, seed + K))
 
@@ -964,6 +961,48 @@ def _run_mt_multichain(ws, model, cfg, data, state, opts):
     states = jax.tree.map(stack, state)._replace(key=keys)
     accum0 = _init_mt_accum(cfg, data, state)
     accums = jax.tree.map(stack, accum0)
+
+    nreps = cfg.nreps
+    n_outer = max(1, opts.chain_length // nreps)
+    burnin_outer = opts.burnin // nreps
+    osf = opts.output_samples_frequency
+    if osf <= 0:
+        osf = max(1, opts.chain_length // 1000)
+    thin_outer = max(1, osf // nreps)
+    n_saved = max(1, (n_outer - burnin_outer) // thin_outer)
+
+    samples = {"R": [], "varg": [], "pi": [], "genvar": [], "h2": [],
+               "lam": [], "alpha": []}
+    chain_track = {"h2": [], "genvar": [], "R": [], "varg": []}
+    upf = int(opts.update_priors_frequency or 0)
+    prior_epoch = 0
+    w0 = 0
+
+    # checkpoint/resume on the stacked multichain pytree (same machinery as
+    # the single-chain drivers); load host-side BEFORE mesh sharding
+    from jwas_tpu.utils import checkpoint as ckpt
+
+    ck_folder = opts.checkpoint_folder or os.path.join(
+        opts.output_folder or "results", "checkpoint"
+    )
+    ck_every_w = 0
+    if opts.checkpoint_frequency and int(opts.checkpoint_frequency) > 0:
+        ck_every_w = max(1, int(opts.checkpoint_frequency) // (thin_outer * nreps))
+    resumed = False
+    if opts.resume:
+        path = ckpt.latest_checkpoint(ck_folder)
+        if path is not None:
+            template = (states, accums, data.vc_scale, data.marker_scale,
+                        data.scale_R)
+            ((states, accums, vc_scale, marker_scale, scale_R), smp,
+             meta) = ckpt.load_checkpoint(path, template)
+            data = data._replace(vc_scale=vc_scale, marker_scale=marker_scale,
+                                 scale_R=scale_R)
+            samples = {k: smp.get(k, []) for k in samples}
+            chain_track = {k: smp.get(f"c_{k}", []) for k in chain_track}
+            prior_epoch = int(meta["prior_epoch"])
+            w0 = int(meta["w_next"])
+            resumed = True
 
     mesh = opts.mesh
     if mesh is not None:
@@ -984,31 +1023,28 @@ def _run_mt_multichain(ws, model, cfg, data, state, opts):
     rw = make_mt_run_window(cfg)
     mc = jax.vmap(rw, in_axes=(0, None, 0, None, None))
 
-    nreps = cfg.nreps
-    n_outer = max(1, opts.chain_length // nreps)
-    burnin_outer = opts.burnin // nreps
-    osf = opts.output_samples_frequency
-    if osf <= 0:
-        osf = max(1, opts.chain_length // 1000)
-    thin_outer = max(1, osf // nreps)
-    n_saved = max(1, (n_outer - burnin_outer) // thin_outer)
-
     from jwas_tpu.engine.progress import ProgressPrinter
     from jwas_tpu.engine.samples_io import MTSampleStream, multichain_streams
 
-    stream = MTSampleStream(ws, cfg, opts, append=False)
-    chain_streams = multichain_streams(MTSampleStream, ws, cfg, opts, K)
+    stream = MTSampleStream(ws, cfg, opts, append=resumed)
+    chain_streams = multichain_streams(MTSampleStream, ws, cfg, opts, K,
+                                       append=resumed)
     progress = ProgressPrinter(opts.printout_frequency, opts.chain_length,
                                n_traits=cfg.n_traits)
 
-    if burnin_outer > 0:
+    if burnin_outer > 0 and not resumed:
         states, accums, _ = mc(states, data, accums, burnin_outer, False)
 
-    samples = {"R": [], "varg": [], "pi": [], "genvar": [], "h2": [],
-               "lam": [], "alpha": []}
-    chain_track = {"h2": [], "genvar": [], "R": [], "varg": []}
-    for w in range(n_saved):
+    for w in range(w0, n_saved):
         states, accums, out = mc(states, data, accums, thin_outer, True)
+        iters_done = (burnin_outer + (w + 1) * thin_outer) * nreps
+        if upf > 0 and iters_done // upf > prior_epoch:
+            # shared MTData priors refresh from the POOLED accum means —
+            # chains stay exchangeable (see mcmc._apply_update_priors_mc)
+            prior_epoch = iters_done // upf
+            data = _apply_update_priors_mt(
+                cfg, data, jax.tree.map(lambda x: jnp.mean(x, axis=0), accums)
+            )
         # ONE batched device->host transfer per saved window
         out_h, states_h = jax.device_get((out, states))
         out0 = jax.tree.map(lambda x: x[0], out_h)
@@ -1040,8 +1076,19 @@ def _run_mt_multichain(ws, model, cfg, data, state, opts):
             else:
                 cs.write_sample(jax.tree.map(lambda x: x[k], states_h),
                                 jax.tree.map(lambda x: x[k], out_h))
-        progress.update((burnin_outer + (w + 1) * thin_outer) * nreps,
+        progress.update(iters_done,
                         vare=out0.R, varg=out0.varg, pi=out0.pi)
+        if ck_every_w and (w + 1) % ck_every_w == 0:
+            ck_samples = dict(samples)
+            ck_samples.update({f"c_{k}": v for k, v in chain_track.items()})
+            ckpt.save_checkpoint(
+                ck_folder, iters_done,
+                (states, accums, data.vc_scale, data.marker_scale,
+                 data.scale_R),
+                ck_samples,
+                {"w_next": w + 1, "prior_epoch": prior_epoch},
+                keep=opts.checkpoint_keep,
+            )
     stream.close()
     for cs in chain_streams:
         cs.close()

@@ -204,7 +204,8 @@ class STSampleStream:
             self.writer.close()
 
 
-def multichain_streams(stream_cls, ws, cfg, opts, n_chains: int):
+def multichain_streams(stream_cls, ws, cfg, opts, n_chains: int,
+                       append: bool = False):
     """Per-chain sample-file streams under chain_<k>/ subfolders (inputs to
     analysis.diagnostics.PSRF_per_parameter). Enabled by
     runMCMC(..., output_chain_samples=True); chain-0 additionally streams to
@@ -222,7 +223,7 @@ def multichain_streams(stream_cls, ws, cfg, opts, n_chains: int):
                 opts,
                 output_folder=os.path.join(opts.output_folder, f"chain_{k + 1}"),
             ),
-            append=False,
+            append=append,
         )
         for k in range(n_chains)
     ]

@@ -165,8 +165,6 @@ RULES: List[Rule] = [
          "burnin should satisfy 0 <= burnin < chain_length."),
     Rule(lambda c: c.opts.n_chains < 1,
          "n_chains should be an integer >= 1."),
-    Rule(lambda c: c.opts.n_chains > 1 and c.opts.resume,
-         "resume is not supported with n_chains > 1 yet."),
 ]
 
 

@@ -20,11 +20,10 @@ def _run(sim, tmp_path, tag, **kw):
     geno = get_genotypes(sim["genotypes"], method=kw.pop("method", "BayesC"),
                          name="geno")
     model = build_model("y = intercept + geno", genotypes=geno)
-    return runMCMC(
-        model, sim["phenotypes"], chain_length=60, burnin=10,
-        output_samples_frequency=5, seed=42,
-        output_folder=str(tmp_path / tag), **kw,
-    )
+    base = dict(chain_length=60, burnin=10, output_samples_frequency=5,
+                seed=42, output_folder=str(tmp_path / tag))
+    base.update(kw)
+    return runMCMC(model, sim["phenotypes"], **base)
 
 
 def test_st_resume_bitwise_identical(tmp_path):
@@ -99,6 +98,84 @@ def test_mt_resume_bitwise_identical(tmp_path):
         )
     pd.testing.assert_frame_equal(full["residual variance"],
                                   resumed["residual variance"])
+
+
+def test_multichain_resume_bitwise_identical(tmp_path):
+    """n_chains>1: the stacked multichain state is one pytree; an
+    interrupted-and-resumed 3-chain run must be bitwise identical to the
+    uninterrupted one (results AND per-chain PSRF table)."""
+    sim = simulate_genomic_data(n=120, p=60, n_qtl=8, h2=0.5, seed=9)
+    ck_a = str(tmp_path / "ck_a")
+
+    full = _run(sim, tmp_path, "a", n_chains=3, checkpoint_frequency=20,
+                checkpoint_folder=ck_a, checkpoint_keep=10)
+    ckpts = sorted(glob.glob(os.path.join(ck_a, "ckpt_*.npz")))
+    assert len(ckpts) >= 2, "expected multiple checkpoints"
+
+    ck_b = str(tmp_path / "ck_b")
+    os.makedirs(ck_b)
+    shutil.copy(ckpts[0], ck_b)
+    resumed = _run(sim, tmp_path, "b", n_chains=3, checkpoint_frequency=20,
+                   checkpoint_folder=ck_b, checkpoint_keep=10, resume=True)
+
+    np.testing.assert_array_equal(
+        full["EBV_y"].EBV.to_numpy(), resumed["EBV_y"].EBV.to_numpy()
+    )
+    np.testing.assert_array_equal(
+        full["marker effects geno"].Estimate.to_numpy(),
+        resumed["marker effects geno"].Estimate.to_numpy(),
+    )
+    pd.testing.assert_frame_equal(full["residual variance"],
+                                  resumed["residual variance"])
+    pd.testing.assert_frame_equal(full["PSRF"], resumed["PSRF"])
+
+
+def test_multichain_update_priors_runs(tmp_path):
+    """update_priors_frequency with n_chains>1: per-chain marker-scale
+    refresh + pooled shared-prior refresh (documented divergence), and the
+    run stays accurate."""
+    sim = simulate_genomic_data(n=200, p=80, n_qtl=8, h2=0.5, seed=31)
+    out = _run(sim, tmp_path, "up", n_chains=2, chain_length=400, burnin=80,
+               update_priors_frequency=100)
+    acc = np.corrcoef(out["EBV_y"].EBV, sim["true_bv"])[0, 1]
+    assert acc > 0.8, f"multichain update-priors EBV accuracy {acc:.3f}"
+
+
+def test_mt_multichain_resume_bitwise_identical(tmp_path):
+    """MT driver, n_chains>1: interrupted-and-resumed equals uninterrupted."""
+    sim = simulate_genomic_data_mt(n=100, p=40, n_qtl=6, seed=12)
+    ck_a = str(tmp_path / "ck_a")
+
+    def run_mt(tag, **kw):
+        geno = get_genotypes(sim["genotypes"], method="BayesC", name="geno")
+        model = build_model("y1 = intercept + geno\ny2 = intercept + geno",
+                            genotypes=geno)
+        return runMCMC(
+            model, sim["phenotypes"], chain_length=60, burnin=10,
+            output_samples_frequency=5, seed=5, n_chains=2,
+            output_folder=str(tmp_path / tag), **kw,
+        )
+
+    full = run_mt("a", checkpoint_frequency=20, checkpoint_folder=ck_a,
+                  checkpoint_keep=10)
+    ckpts = sorted(glob.glob(os.path.join(ck_a, "ckpt_*.npz")))
+    assert len(ckpts) >= 2
+
+    ck_b = str(tmp_path / "ck_b")
+    os.makedirs(ck_b)
+    shutil.copy(ckpts[0], ck_b)
+    resumed = run_mt("b", checkpoint_frequency=20, checkpoint_folder=ck_b,
+                     checkpoint_keep=10, resume=True)
+
+    for trait in ("y1", "y2"):
+        np.testing.assert_array_equal(
+            full[f"EBV_{trait}"].EBV.to_numpy(),
+            resumed[f"EBV_{trait}"].EBV.to_numpy(),
+        )
+    pd.testing.assert_frame_equal(full["residual variance"],
+                                  resumed["residual variance"])
+    if "PSRF" in full:
+        pd.testing.assert_frame_equal(full["PSRF"], resumed["PSRF"])
 
 
 def test_checkpoint_keep_prunes(tmp_path):

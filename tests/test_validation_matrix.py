@@ -143,8 +143,6 @@ VIOLATIONS = {
     "burnin should satisfy 0 <= burnin < chain_length.": (
         _model(), _opts(chain_length=10, burnin=10)),
     "n_chains should be an integer >= 1.": (_model(), _opts(n_chains=0)),
-    "resume is not supported with n_chains > 1 yet.": (
-        _model(), _opts(n_chains=2, resume=True)),
 }
 
 BENIGN = [
