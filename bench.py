@@ -263,6 +263,7 @@ def run_northstar(jax, jnp):
         re_groups=(), df_residual=4.0, df_marker=4.0, has_weights=False,
         use_pallas=use_pallas, is_packed=True, grouped=True,
         host_offload=host, has_missing_codes=False,
+        prefetch=os.environ.get("BENCH_PREFETCH", "1") == "1" and host,
         scale_R=vary_analytic * 0.5,
     )
     data = STData(

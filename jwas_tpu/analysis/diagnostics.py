@@ -59,18 +59,41 @@ def PSRF(*chains, header: bool = True) -> float:
     return V / W
 
 
-def _read_sample_file(path: str):
+# sample-file kinds the writer emits WITHOUT a header row (samples_io.py)
+_HEADERLESS_KINDS = (
+    "marker_effects_variances_", "pi_", "liabilities_", "threshold_",
+)
+
+
+def _read_sample_file(path: str, header=None):
     """Read one MCMC sample file; returns (labels, (n_samples, k) array).
-    Files written without a header (e.g. pi) get positional labels."""
-    first = open(path).readline().strip()
-    has_header = False
-    for tok in first.split(","):
-        try:
-            float(tok)
-        except ValueError:
-            has_header = True
-            break
-    df = pd.read_csv(path, header=0 if has_header else None)
+
+    Header presence is decided by the writer's own convention (file-name
+    kind) rather than by sniffing, so marker-effect files whose IDs are all
+    numeric still have their header row treated as labels, not as a sample.
+    Pass header=True/False to override for files not written by runMCMC.
+    """
+    import os
+
+    if header is None:
+        base = os.path.basename(path)
+        stem = base[13:] if base.startswith("MCMC_samples_") else base
+        if any(stem.startswith(k) for k in _HEADERLESS_KINDS):
+            header = False
+        elif stem.startswith(("marker_effects_", "EBV_")):
+            header = True        # always written with an ID header row
+        else:
+            # unknown origin: sniff, but via a closed handle
+            with open(path) as fh:
+                first = fh.readline().strip()
+            header = False
+            for tok in first.split(","):
+                try:
+                    float(tok)
+                except ValueError:
+                    header = True
+                    break
+    df = pd.read_csv(path, header=0 if header else None)
     labels = [str(c) for c in df.columns]
     return labels, df.to_numpy(dtype=np.float64)
 

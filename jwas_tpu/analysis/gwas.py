@@ -22,6 +22,64 @@ import numpy as np
 import pandas as pd
 
 
+class _DenseX:
+    """Uniform column access over a dense (n, p) genotype matrix."""
+
+    def __init__(self, X):
+        self.X = jnp.asarray(np.asarray(X), jnp.float32)
+        self.shape = (int(self.X.shape[0]), int(self.X.shape[1]))
+
+    def cols(self, idx) -> jnp.ndarray:
+        return self.X[:, np.asarray(idx, dtype=np.int64)]
+
+    def matmul(self, A: jnp.ndarray) -> jnp.ndarray:
+        return self.X @ A
+
+
+class _PackedX:
+    """Column access over a 2-bit packed store: windows decode on demand
+    (streaming_genotypes.jl:978-1002 analogue), the full-genome breeding-value
+    GEMM streams marker chunks so no dense (n, p) matrix ever exists. This is
+    what makes post-hoc GWAS usable on storage='2bit' runs at p >= 1M."""
+
+    def __init__(self, store, chunk_bytes: int = 1 << 28):
+        self.store = store
+        self.shape = (int(store.n_obs), int(store.n_markers))
+        n = max(1, int(store.n_obs))
+        self.chunk = max(1024, chunk_bytes // (4 * n))
+
+    def cols(self, idx) -> jnp.ndarray:
+        dec = self.store.decode(np.asarray(idx, dtype=np.int64))  # centered
+        return jnp.asarray(dec, jnp.float32)
+
+    def matmul(self, A: jnp.ndarray) -> jnp.ndarray:
+        n, p = self.shape
+        out = jnp.zeros((n, A.shape[1]), jnp.float32)
+        for c0 in range(0, p, self.chunk):
+            idx = np.arange(c0, min(c0 + self.chunk, p), dtype=np.int64)
+            out = out + self.cols(idx) @ A[c0 : c0 + len(idx), :]
+        return out
+
+
+def _resolve_X(genotypes, model_or_file):
+    """Accept a dense matrix, a Genotypes object (dense or packed), a
+    Packed2BitStore, or take the first marker set off the model."""
+    cand = genotypes
+    if cand is None and hasattr(model_or_file, "M") and model_or_file.M:
+        cand = model_or_file.M[0]
+    if cand is None:
+        return None
+    store = getattr(cand, "packed_store", None)
+    if store is not None:
+        return _PackedX(store)
+    if hasattr(cand, "decode") and hasattr(cand, "n_markers"):
+        return _PackedX(cand)           # a bare Packed2BitStore
+    dense = getattr(cand, "genotypes", cand)
+    if dense is None:
+        return None
+    return _DenseX(dense)
+
+
 def _read_marker_samples(path: str):
     df = pd.read_csv(path)
     marker_ids = [str(c) for c in df.columns]
@@ -115,12 +173,14 @@ def GWAS(
         samples2 = None
     S, p = samples.shape
 
-    X = genotypes
-    if X is None and hasattr(model_or_file, "M") and model_or_file.M:
-        X = np.asarray(model_or_file.M[0].genotypes)
-    if X is None:
-        raise ValueError("genotype matrix is required (pass genotypes=...)")
-    if X.shape[1] != p:
+    Xp = _resolve_X(genotypes, model_or_file)
+    if Xp is None:
+        raise ValueError(
+            "genotypes are required (pass genotypes= a matrix, a Genotypes "
+            "object, or a Packed2BitStore; or a model whose marker set has "
+            "either dense genotypes or a packed_store)"
+        )
+    if Xp.shape[1] != p:
         raise ValueError("genotype columns must match the marker-effect samples")
 
     if isinstance(map_file, str):
@@ -131,7 +191,6 @@ def GWAS(
     windows = _build_windows(map_df, marker_ids, wsize, sliding_window)
 
     A = jnp.asarray(samples.T, jnp.float32)       # (p, S)
-    Xd = jnp.asarray(X, jnp.float32)
 
     if genetic_correlation:
         # per-window genetic covariance/correlation between traits
@@ -139,8 +198,9 @@ def GWAS(
         A2 = jnp.asarray(samples2.T, jnp.float32)
         rows = []
         for w, (chrom, start, idx) in enumerate(windows):
-            B1 = Xd[:, idx] @ A[idx, :]            # (n, S)
-            B2 = Xd[:, idx] @ A2[idx, :]
+            Xw = Xp.cols(idx)
+            B1 = Xw @ A[idx, :]                    # (n, S)
+            B2 = Xw @ A2[idx, :]
             B1c = B1 - B1.mean(axis=0, keepdims=True)
             B2c = B2 - B2.mean(axis=0, keepdims=True)
             n_ind = B1.shape[0]
@@ -167,14 +227,14 @@ def GWAS(
             ],
         )
 
-    BV = Xd @ A                                    # (n, S)
+    BV = Xp.matmul(A)                              # (n, S)
     gen_var = jnp.var(BV, axis=0)                  # (S,)
 
     rows = []
     win_props = np.zeros((len(windows), S))
     local_ebv = {}
     for w, (chrom, start, idx) in enumerate(windows):
-        BVw = Xd[:, idx] @ A[idx, :]
+        BVw = Xp.cols(idx) @ A[idx, :]
         vw = jnp.var(BVw, axis=0)
         prop = np.asarray(vw / jnp.maximum(gen_var, 1e-30))
         win_props[w] = prop

@@ -177,6 +177,7 @@ def make_st_step(cfg: EngineCfg):
                 k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
                 host_store=cfg.host_offload, use_pallas=cfg.use_pallas,
                 interpret=interp, has_missing=cfg.has_missing_codes,
+                prefetch=cfg.prefetch,
             )
         elif cfg.method in ("BayesC", "BayesB") and cfg.is_packed:
             from jwas_tpu.ops.packed import PackedMarkers, sweep_blocks_abc_packed
@@ -211,7 +212,9 @@ def make_st_step(cfg: EngineCfg):
                 interpret=interp,
             )
         elif cfg.method in ("BayesC", "BayesB"):
-            var_eff = varg if cfg.method == "BayesB" else varg
+            # varg is scalar for BayesC, per-marker (p_pad,) for BayesB; the
+            # sweeps broadcast either shape
+            var_eff = varg
             if cfg.use_blocks:
                 alpha, beta, delta, ycorr = mk.sweep_blocks_abc(
                     mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
@@ -260,6 +263,7 @@ def make_st_step(cfg: EngineCfg):
                     k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
                     host_store=cfg.host_offload, use_pallas=cfg.use_pallas,
                     interpret=interp, has_missing=cfg.has_missing_codes,
+                    prefetch=cfg.prefetch,
                 )
             elif cfg.is_packed:
                 from jwas_tpu.ops.packed import (
@@ -666,7 +670,12 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
                 store, ws.obs_ids, bs,
                 rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
             )
-            has_missing_codes = store_has_missing(store.packed)
+            # prefer the manifest flag recorded at packing time; only stores
+            # from pre-flag manifests pay the full LUT scan
+            has_missing_codes = (
+                store.has_missing if store.has_missing is not None
+                else store_has_missing(store.packed)
+            )
             host_offload = host_memory_supported()
             grouped = True
         else:
@@ -869,6 +878,10 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         host_offload=host_offload,
         grouped=grouped,
         has_missing_codes=has_missing_codes if grouped else True,
+        # out-of-core runs overlap each group's PCIe stage with the previous
+        # group's compute (one extra resident tile; ~25% wall-clock at the
+        # north-star shape)
+        prefetch=bool(grouped and host_offload),
         scale_R=float(ws.scale_R),
     )
     data = STData(

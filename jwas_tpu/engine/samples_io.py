@@ -31,6 +31,18 @@ import numpy as np
 MARKER_FILE_MAX_P = 200_000
 
 
+def resolve_write_markers(p: int, output_marker_samples) -> bool:
+    """Decide (and announce) whether per-marker sample files are written."""
+    if bool(output_marker_samples) or p <= MARKER_FILE_MAX_P:
+        return True
+    print(
+        f"NOTE: marker-effect sample files are skipped at p={p:,} markers "
+        f"(> {MARKER_FILE_MAX_P:,}; the files grow as p x saved samples). "
+        f"Pass output_marker_samples=True to runMCMC to force writing."
+    )
+    return False
+
+
 class MCMCSampleWriter:
     """Append-oriented writer for the per-parameter sample files."""
 
@@ -122,8 +134,8 @@ class STSampleStream:
         g = ws.geno
         if g is not None and cfg.method != "none":
             p = cfg.n_markers
-            self.write_markers = (
-                bool(opts.output_marker_samples) or p <= MARKER_FILE_MAX_P
+            self.write_markers = resolve_write_markers(
+                p, opts.output_marker_samples
             )
             if self.write_markers:
                 mids = (g.marker_ids if g.method != "GBLUP"
@@ -269,8 +281,8 @@ class RRMSampleStream:
             self.re_vars.append(var)
 
         p = cfg.n_markers
-        self.write_markers = (
-            bool(opts.output_marker_samples) or p <= MARKER_FILE_MAX_P
+        self.write_markers = resolve_write_markers(
+            p, opts.output_marker_samples
         )
         coeffs = [f"coeff{i + 1}" for i in range(c)]
         if self.write_markers:
@@ -347,8 +359,8 @@ class MTSampleStream:
         g = ws.geno
         if g is not None and cfg.method != "none":
             p = cfg.n_markers
-            self.write_markers = (
-                bool(opts.output_marker_samples) or p <= MARKER_FILE_MAX_P
+            self.write_markers = resolve_write_markers(
+                p, opts.output_marker_samples
             )
             if self.write_markers:
                 mids = (g.marker_ids if g.method != "GBLUP"

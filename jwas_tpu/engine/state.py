@@ -108,3 +108,6 @@ class EngineCfg:
     has_missing_codes: bool = True  # 2-bit store contains code 3 (missing);
                                     # False skips the mask matmuls in the
                                     # plane-decomposed GEMVs
+    prefetch: bool = False    # grouped sweeps: software-pipeline the H2D
+                              # stage of group g+1 under group g's compute
+                              # (costs one extra resident group tile)

@@ -89,6 +89,10 @@ class Packed2BitStore:
     allele_freq: np.ndarray   # (p,)
     n_obs: int
     n_markers: int
+    # whether any 2-bit code is 3 (missing). Known at packing time and kept in
+    # the manifest so startup never needs a second full-store scan; None for
+    # stores from pre-flag manifests (callers fall back to a LUT scan).
+    has_missing: Optional[bool] = None
 
     @property
     def bytes_per_marker(self) -> int:
@@ -128,6 +132,8 @@ class Packed2BitStore:
             "means": self.means.tolist(),
             "allele_freq": self.allele_freq.tolist(),
         }
+        if self.has_missing is not None:
+            manifest["has_missing"] = bool(self.has_missing)
         mtmp = path + ".manifest.json.tmp"
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
@@ -161,6 +167,7 @@ class Packed2BitStore:
             allele_freq=np.asarray(man["allele_freq"], dtype=np.float64),
             n_obs=n,
             n_markers=p,
+            has_missing=man.get("has_missing"),
         )
 
 
@@ -238,6 +245,7 @@ def prepare_packed_genotypes(
         mat = np.ascontiguousarray(mat[:, keep])
         means = means[keep]
         freqs = freqs[keep]
+        nmiss = nmiss[keep]
         marker_ids = [m for m, k in zip(marker_ids, keep) if k]
         n, p = mat.shape
 
@@ -260,6 +268,7 @@ def prepare_packed_genotypes(
         allele_freq=freqs,
         n_obs=n,
         n_markers=p,
+        has_missing=bool(nmiss.sum() > 0),
     )
     if save_path:
         store.save(save_path)
@@ -368,6 +377,7 @@ def _prepare_packed_low_memory(
         "marker_ids": kept_marker_ids,
         "means": means[keep].tolist(),
         "allele_freq": freqs[keep].tolist(),
+        "has_missing": bool(nmiss[keep].sum() > 0),
     }
     mtmp = save_path + ".manifest.json.tmp"
     with open(mtmp, "w") as f:
@@ -384,6 +394,7 @@ def _prepare_packed_low_memory(
         allele_freq=freqs[keep],
         n_obs=n,
         n_markers=p_keep,
+        has_missing=bool(nmiss[keep].sum() > 0),
     )
 
 

@@ -655,7 +655,15 @@ def grouped_stats(store, means, valid, row_perm, rinv, b: int, n_obs: int,
     X_b'X_b = Z'Z - m s' - s m' + n m m' with the INTEGER code matrix Z in
     bfloat16 on the MXU — exact because products of {0,1,2} and their f32
     accumulations (< 2^24) are representable, ~4x faster than the f32 path.
+    The no-missing-codes precondition cannot be checked on the traced store;
+    callers must establish it (store_has_missing / the manifest flag) first.
     """
+    if exact_bf16 and (rinv is not None or row_perm is not None):
+        raise ValueError(
+            "grouped_stats(exact_bf16=True) requires unit weights and "
+            "identity row order (rinv=None, row_perm=None); use the f32 "
+            "decode path (exact_bf16=False) for weighted/permuted stores"
+        )
     ngroups, G, bpm = store.shape
     gb = G // b
     dtype = jnp.float32
@@ -737,17 +745,43 @@ def build_grouped_markers(store, obs_ids, block_size: int, rinv=None,
     gb = group_blocks or (128 if nblocks_min >= 128 else nblocks_min)
     align = b * gb
     p_pad = -(-p // align) * align
-    packed_np = store.packed
-    if p_pad != p:
-        pad = np.zeros((p_pad - p, store.bytes_per_marker), dtype=np.uint8)
-        packed_np = np.concatenate([packed_np, pad], axis=0)
     means_np = np.zeros(p_pad, dtype=np.float32)
     means_np[:p] = store.means
     valid_np = np.zeros(p_pad, dtype=np.float32)
     valid_np[:p] = 1.0
 
     ngroups = p_pad // align
-    arr = grouped_store_from_numpy(packed_np, ngroups, host=host)
+    bpm = store.bytes_per_marker
+    if p_pad == p:
+        # aligned: stage the (possibly memmapped) store directly; device_put
+        # streams pages into the pinned-host buffer without an in-RAM copy
+        arr = grouped_store_from_numpy(store.packed, ngroups, host=host)
+    elif host and host_memory_supported():
+        # padding needed: stage group by group through a host callback so a
+        # memmapped store never materializes a second full in-RAM copy
+        # (peak = pinned-host target + one group tile)
+        packed_src = store.packed
+
+        def _host_group(g):
+            g = int(np.asarray(g))
+            out = np.zeros((align, bpm), dtype=np.uint8)
+            lo = g * align
+            hi = min(lo + align, p)
+            out[: hi - lo] = packed_src[lo:hi]
+            return out
+
+        def gen_group(g):
+            return jax.pure_callback(
+                _host_group, jax.ShapeDtypeStruct((align, bpm), jnp.uint8), g
+            )
+
+        arr = materialize_grouped_host(gen_group, ngroups, align, bpm)
+    else:
+        # CPU fallback: one preallocated padded copy (document: mmap only
+        # avoids the copy when p is already group-aligned on this backend)
+        padded = np.zeros((p_pad, bpm), dtype=np.uint8)
+        padded[:p] = store.packed
+        arr = grouped_store_from_numpy(padded, ngroups, host=host)
     host_store = arr.sharding.memory_kind == "pinned_host" if hasattr(
         arr, "sharding"
     ) else False

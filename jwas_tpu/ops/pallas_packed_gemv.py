@@ -39,6 +39,19 @@ def _strided_w(w, bpm: int):
     return w_pad.reshape(bpm, 4).T
 
 
+def _fit_tile_k(tile_k: int, p_pad: int, bpm: int,
+                budget: int = 12 * 1024 * 1024) -> int:
+    """Shrink the marker-tile height so the kernel's VMEM footprint (packed
+    tile + per-plane f32 decode temps, ~10 bytes/code measured) fits scoped
+    VMEM at any observation count; keep it a divisor of p_pad."""
+    cap = max(8, budget // (bpm * 10))
+    while tile_k > cap:
+        tile_k //= 2
+    while p_pad % tile_k:
+        tile_k //= 2
+    return max(1, tile_k)
+
+
 def _rhs_kernel(packed_ref, means_ref, wst_ref, wsum_ref, out_ref):
     """One k-tile: out_k = X_k' w, decode fused (see module docs).
 
@@ -66,8 +79,7 @@ def packed_rhs_fused(packed, means, w, tile_k: int = 256,
     """X' w with in-kernel 2-bit decode. packed: (p_pad, bpm) uint8 with
     p_pad % tile_k == 0; w: (n,). Returns (p_pad,) float32."""
     p_pad, bpm = packed.shape
-    while p_pad % tile_k:
-        tile_k //= 2
+    tile_k = _fit_tile_k(tile_k, p_pad, bpm)
     wst = _strided_w(w.astype(jnp.float32), bpm)
     wsum = jnp.sum(w.astype(jnp.float32))[None]
     grid = (p_pad // tile_k,)
@@ -120,8 +132,7 @@ def packed_matvec_fused(packed, means, v, n_obs: int, tile_k: int = 256,
                         interpret: bool = False):
     """X @ v with in-kernel 2-bit decode. v: (p_pad,). Returns (n_obs,)."""
     p_pad, bpm = packed.shape
-    while p_pad % tile_k:
-        tile_k //= 2
+    tile_k = _fit_tile_k(tile_k, p_pad, bpm)
     grid = (p_pad // tile_k,)
     out_st = pl.pallas_call(
         _matvec_kernel,

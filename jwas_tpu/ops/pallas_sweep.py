@@ -29,6 +29,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128          # hardware lane width; the kernel tile may span several
 
+# VMEM budget for keeping a lane-group's FULL (b, b, lanes) Gram tile
+# resident for the whole sweep. When it fits, the kernel needs ONE bulk DMA
+# per grid cell instead of one (b, lanes) row DMA per inner step — the
+# per-step DMA/semaphore overhead was the dominant cost of the sweep
+# (~5x off the bandwidth bound at the north-star shape).
+RESIDENT_BUDGET = 9 * 1024 * 1024
+
+
+def _pick_resident_lanes(nblocks: int, b: int, dtype_bytes: int = 4) -> int:
+    """Widest lane group whose full Gram tile fits the resident budget;
+    0 when none does (fall back to the per-step-DMA kernel)."""
+    for cand in (1024, 512, 256, 128):
+        if nblocks % cand == 0 and b * b * cand * dtype_bytes <= RESIDENT_BUDGET:
+            return cand
+    return 0
+
 
 def _pick_lanes(nblocks: int, b: int, dtype_bytes: int = 4) -> int:
     """Lane-group width per grid cell: wider tiles amortize the per-step
@@ -138,6 +154,87 @@ def _abc_kernel(nreps: int, b: int, lanes: int,
     jax.lax.fori_loop(0, n_steps, body, 0)
 
 
+def _abc_kernel_resident(nreps: int, b: int, lanes: int,
+                         xpx_ref, var_eff_ref, log_pi_ref, log_pi_comp_ref,
+                         inv_vare_ref,
+                         us_hbm, zs_hbm, grams_hbm,
+                         alpha_in, beta_in, delta_in, rhs_in,
+                         alpha_ref, beta_ref, delta_ref, rhs_ref,
+                         gram_buf, rng_buf, gram_sem, rng_sems):
+    """Resident-Gram grid cell: the whole (b, b, lanes) Gram tile is copied
+    into VMEM once, then all nreps*b inner steps run without any per-step
+    DMA (the RNG panels stay double-buffered per round)."""
+    del alpha_in, beta_in, delta_in, rhs_in
+    k0 = pl.program_id(0) * lanes
+    inv_vare = inv_vare_ref[0]
+    n_steps = nreps * b
+
+    gcopy = pltpu.make_async_copy(
+        grams_hbm.at[:, :, pl.ds(k0, lanes)], gram_buf, gram_sem
+    )
+    gcopy.start()
+
+    def rng_dma(slot, rnd):
+        return pltpu.make_async_copy(
+            us_hbm.at[pl.ds(rnd * b, b), pl.ds(k0, lanes)],
+            rng_buf.at[slot, 0], rng_sems.at[slot, 0],
+        ), pltpu.make_async_copy(
+            zs_hbm.at[pl.ds(rnd * b, b), pl.ds(k0, lanes)],
+            rng_buf.at[slot, 1], rng_sems.at[slot, 1],
+        )
+
+    for d in rng_dma(0, 0):
+        d.start()
+    gcopy.wait()
+
+    def body(step, _):
+        j = step % b
+        rnd = step // b
+        rslot = rnd % 2
+
+        @pl.when(jnp.logical_and(j == 0, rnd + 1 < nreps))
+        def _():
+            for d in rng_dma((rnd + 1) % 2, rnd + 1):
+                d.start()
+
+        @pl.when(j == 0)
+        def _():
+            for d in rng_dma(rslot, rnd):
+                d.wait()
+
+        a_j = alpha_ref[j, :]
+        xpx_j = xpx_ref[j, :]
+        var_eff_j = var_eff_ref[j, :]
+        rhs_j = rhs_ref[j, :]
+        u = rng_buf[rslot, 0, j, :]
+        z = rng_buf[rslot, 1, j, :]
+
+        # _abc_update (ops/markers.py:118-137; BayesABC.jl:24-58)
+        inv_var_eff = 1.0 / var_eff_j
+        log_var_eff = jnp.log(var_eff_j)
+        rhs = (rhs_j + xpx_j * a_j) * inv_vare
+        lhs = xpx_j * inv_vare + inv_var_eff
+        inv_lhs = 1.0 / lhs
+        g_hat = rhs * inv_lhs
+        log_delta1 = (
+            -0.5 * (jnp.log(lhs) + log_var_eff - g_hat * rhs)
+            + log_pi_comp_ref[j, :]
+        )
+        prob_delta1 = 1.0 / (1.0 + jnp.exp(log_pi_ref[j, :] - log_delta1))
+        include = u < prob_delta1
+        beta_in = g_hat + z * jnp.sqrt(inv_lhs)
+        beta_out = z * jnp.sqrt(var_eff_j)
+        a_new = jnp.where(include, beta_in, 0.0)
+
+        alpha_ref[j, :] = a_new
+        beta_ref[j, :] = jnp.where(include, beta_in, beta_out)
+        delta_ref[j, :] = include.astype(jnp.int32)
+        rhs_ref[:, :] = rhs_ref[:, :] + (a_j - a_new)[None, :] * gram_buf[j]
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, body, 0)
+
+
 @partial(jax.jit, static_argnames=("nreps", "interpret"))
 def abc_inner_rounds_pallas(grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
                             alpha_b, beta_b, delta_b, rhs0, us, zs, inv_vare,
@@ -151,12 +248,28 @@ def abc_inner_rounds_pallas(grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
     b, _, nblocks = grams.shape
     if nblocks % LANES:
         raise ValueError(f"nblocks ({nblocks}) must be a multiple of {LANES}")
-    lanes = _pick_lanes(nblocks, b)
+    res_lanes = _pick_resident_lanes(nblocks, b)
+    lanes = res_lanes or _pick_lanes(nblocks, b)
     grid = (nblocks // lanes,)
     dtype = rhs0.dtype
 
     tile = lambda i: (0, i)                   # noqa: E731
-    kernel = partial(_abc_kernel, nreps, b, lanes)
+    if res_lanes:
+        kernel = partial(_abc_kernel_resident, nreps, b, lanes)
+        scratch = [
+            pltpu.VMEM((b, b, lanes), dtype),        # resident Gram tile
+            pltpu.VMEM((2, 2, b, lanes), dtype),     # (slot, u/z, b, lanes)
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    else:
+        kernel = partial(_abc_kernel, nreps, b, lanes)
+        scratch = [
+            pltpu.VMEM((2, b, lanes), dtype),        # gram double buffer
+            pltpu.VMEM((2, 2, b, lanes), dtype),     # (slot, u/z, b, lanes)
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -186,12 +299,7 @@ def abc_inner_rounds_pallas(grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
             jax.ShapeDtypeStruct((b, nblocks), jnp.int32),
             jax.ShapeDtypeStruct((b, nblocks), dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, b, lanes), dtype),        # gram double buffer
-            pltpu.VMEM((2, 2, b, lanes), dtype),     # (slot, u/z, b, lanes)
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
         input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3},
         cost_estimate=pl.CostEstimate(
             flops=2 * nreps * b * b * nblocks,

@@ -84,9 +84,15 @@ def initialize_multihost(
     if (coordinator_address is None and num_processes is None
             and not _pod_env_markers_present() and not force):
         return False
-    from jax._src import xla_bridge
+    # private API: a jax upgrade may move this symbol; degrade to "attempt
+    # the bring-up anyway" rather than failing every pod launch on import
+    try:
+        from jax._src import xla_bridge
 
-    if xla_bridge.backends_are_initialized():
+        backends_up = xla_bridge.backends_are_initialized()
+    except (ImportError, AttributeError):
+        backends_up = False
+    if backends_up:
         import warnings
 
         warnings.warn(

@@ -81,6 +81,55 @@ def test_local_ebv(gwas_run):
     assert acc > 0.6
 
 
+def test_gwas_from_packed_store_matches_dense(gwas_run):
+    """GWAS accepts a Packed2BitStore: window props/WPPA match the dense-X
+    run (decode is exact for integer codes) without a dense (n, p) matrix."""
+    from jwas_tpu.io.packed import prepare_packed_genotypes
+
+    sim, model, out, map_df = gwas_run
+    store = prepare_packed_genotypes(sim["genotypes"])
+    dense = GWAS(model, map_df, out["_marker_sample_file"], window_size="1 Mb")
+    packed = GWAS(model, map_df, out["_marker_sample_file"],
+                  genotypes=store, window_size="1 Mb")
+    assert list(packed["window"]) == list(dense["window"])
+    np.testing.assert_allclose(
+        packed["prGenVar"], dense["prGenVar"], rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(packed["WPPA"], dense["WPPA"], atol=0.02)
+
+
+def test_gwas_end_to_end_on_packed_run(tmp_path):
+    """A storage='2bit' runMCMC (model carries NO dense genotypes) feeds the
+    window GWAS directly: marker sample file -> windows + WPPA
+    (GWAS.jl:138-201 workflow at the packed-backend scale)."""
+    from jwas_tpu import build_model, get_genotypes, runMCMC
+    from jwas_tpu.io.datasets import simulate_genomic_data
+    from jwas_tpu.io.packed import prepare_packed_genotypes
+
+    outdir = str(tmp_path / "gwas_packed")
+    sim = simulate_genomic_data(n=400, p=160, n_qtl=4, h2=0.7, seed=91)
+    store = prepare_packed_genotypes(sim["genotypes"])
+    geno = get_genotypes(store, method="BayesC", Pi=0.95, name="geno")
+    model = build_model("y = intercept + geno", genotypes=geno)
+    assert model.M[0].genotypes is None        # truly packed-only
+    out = runMCMC(model, sim["phenotypes"], chain_length=600, burnin=150,
+                  seed=31, output_folder=outdir, output_marker_samples=True,
+                  output_samples_frequency=5)
+    map_df = pd.DataFrame(
+        {
+            "markerID": geno.marker_ids,
+            "chromosome": [1] * len(geno.marker_ids),
+            "position": (np.arange(len(geno.marker_ids)) * 50_000) + 1,
+        }
+    )
+    res = GWAS(model, map_df, out["_marker_sample_file"], window_size="1 Mb")
+    assert res["numSNP"].sum() == 160
+    assert (res["WPPA"] <= 1).all() and (res["WPPA"] >= 0).all()
+    qtl_windows = set(sim["qtl"] // 20 + 1)
+    top = set(res.head(len(qtl_windows))["window"])
+    assert len(top & qtl_windows) >= 1
+
+
 def test_window_genetic_correlation(gwas_run, tmp_path):
     sim, model, out, map_df = gwas_run
     f1 = out["_marker_sample_file"]
