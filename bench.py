@@ -183,7 +183,13 @@ def _build_northstar(jax, jnp, n, p, block, gb, dtype):
         return jnp.concatenate(parts, axis=0)
 
     t0 = time.perf_counter()
-    store = materialize_grouped_host(gen_group, ngroups, G, bpm)
+    if os.environ.get("BENCH_DEVICE_STORE", "0") == "1":
+        # diagnostic: whole store device-resident (must fit HBM)
+        parts_d = [gen_group(g) for g in range(ngroups)]
+        store = jnp.stack(parts_d)
+        del parts_d
+    else:
+        store = materialize_grouped_host(gen_group, ngroups, G, bpm)
     store.block_until_ready()
     _sync(jnp.ones((1,)) + 1.0)   # drain the device queue (accurate timing)
     host = hasattr(store, "sharding") and getattr(

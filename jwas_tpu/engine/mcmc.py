@@ -275,10 +275,21 @@ def make_st_step(cfg: EngineCfg):
                     data.packed, data.packed_means, data.row_perm,
                     data.xpx, data.grams, data.valid,
                 )
+                interp = jax.default_backend() not in ("tpu", "axon")
                 alpha, delta, ycorr = sweep_blocks_bayesr_packed(
                     pm, alpha, delta, ycorr, rinv, state.vare, varg, pi_mat,
                     k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
                     host_store=cfg.host_offload,
+                    use_pallas=cfg.use_pallas, interpret=interp,
+                )
+            elif cfg.use_blocks and cfg.use_pallas:
+                from jwas_tpu.ops.pallas_sweep import sweep_blocks_bayesr_pallas
+
+                interp = jax.default_backend() not in ("tpu", "axon")
+                alpha, delta, ycorr = sweep_blocks_bayesr_pallas(
+                    mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
+                    alpha, delta, ycorr, rinv, state.vare, varg, pi_mat, k_mark,
+                    nreps=cfg.nreps, sync_every=cfg.sync_every, interpret=interp,
                 )
             elif cfg.use_blocks:
                 alpha, delta, ycorr = mk.sweep_blocks_bayesr(
@@ -581,6 +592,27 @@ def _apply_update_priors(cfg, data: STData, state: ChainState, accum: Accum):
     return data, state
 
 
+def _resolve_use_pallas(flag, use_blocks: bool, method: str, grams,
+                        ngroups: int) -> bool:
+    """Kernel-eligibility for the blocked Pallas sweeps. flag: True/False or
+    "auto" (= on for TPU backends). The ABC kernel runs at any eligible lane
+    width; BayesR requires the resident-Gram budget (pallas_sweep.py)."""
+    if not use_blocks or method not in ("BayesC", "BayesB", "BayesR"):
+        return False
+    if flag == "auto":
+        flag = jax.default_backend() in ("tpu", "axon")
+    if not flag:
+        return False
+    from jwas_tpu.ops.pallas_sweep import pallas_resident_ok
+
+    nb = grams.shape[2] // ngroups if ngroups else grams.shape[2]
+    if nb % 128:
+        return False
+    if method == "BayesR":
+        return pallas_resident_ok(nb, grams.shape[0])
+    return True
+
+
 def _resolve_host_offload(flag, packed_bytes: int) -> bool:
     """Out-of-core decision: explicit True/False, or 'auto' = offload when
     the packed store exceeds 60% of the device memory budget (the runtime
@@ -865,15 +897,9 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         cat_counts=(n_cat,),
         anno_steps=anno_steps,
         is_packed=packed_pm is not None,
-        use_pallas=(
-            bool(opts.use_pallas)
-            and use_blocks
-            and method in ("BayesC", "BayesB")
-            and (
-                (grams.shape[2] // packed_pm.store.shape[0]) % 128 == 0
-                if grouped
-                else grams.shape[2] % 128 == 0
-            )
+        use_pallas=_resolve_use_pallas(
+            opts.use_pallas, use_blocks, method, grams,
+            packed_pm.store.shape[0] if grouped else 0,
         ),
         host_offload=host_offload,
         grouped=grouped,

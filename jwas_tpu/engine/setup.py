@@ -74,7 +74,9 @@ class MCMCOptions:
                                         # per-parameter sample-file set for
                                         # EVERY chain under chain_<k>/
                                         # (feeds PSRF_per_parameter)
-    use_pallas: bool = False            # Pallas kernel for the blocked sweep
+    use_pallas: object = "auto"         # Pallas kernel for the blocked sweeps:
+                                        # "auto" = on for TPU backends when the
+                                        # block shape is kernel-eligible
     sync_every: Optional[int] = None    # inner reps between residual syncs in
                                         # the blocked sweeps (default min(8, nreps))
     independent_blocks: bool = False    # reference's fully-amortized approximate

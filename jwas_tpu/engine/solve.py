@@ -45,9 +45,25 @@ def solve(
         LHS = (W * rinv[:, None]).T @ W
         RHS = W.T @ (rinv * ws.y)
     else:
-        Rinv_full = np.kron(np.linalg.inv(ws.vare0), np.eye(ws.n_obs))
-        LHS = W.T @ Rinv_full @ W
-        RHS = W.T @ Rinv_full @ ws.y
+        # W' (Ri x I_n) W assembled per trait-block pair — NEVER materializes
+        # the (n t, n t) kron, so the MME scales to the reference's sparse
+        # solver sizes (solver.jl:7-54): LHS[k,l] = sum_{s,u} Ri[s,u]
+        # (W_s' W_u)[k,l] with W_s = the trait-s row block of W.
+        import scipy.sparse as sp
+
+        t_, n_ = ws.n_traits, ws.n_obs
+        Ri = np.linalg.inv(ws.vare0)
+        Wb = [sp.csr_matrix(W[s * n_ : (s + 1) * n_]) for s in range(t_)]
+        yb = ws.y.reshape(t_, n_)
+        K = W.shape[1]
+        LHS = np.zeros((K, K))
+        RHS = np.zeros(K)
+        for s in range(t_):
+            for u in range(t_):
+                if Ri[s, u] == 0.0:
+                    continue
+                LHS += Ri[s, u] * np.asarray((Wb[s].T @ Wb[u]).todense())
+                RHS += Ri[s, u] * (Wb[s].T @ yb[u])
 
     # random-effect parts (addVinv): lambda version for single trait
     for grp in ws.re_groups:

@@ -95,34 +95,42 @@ def simulate_genomic_data_mt(
     re: float = 0.2,
     seed: int = 42,
     missing_frac: float = 0.0,
+    n_traits: int = 2,
 ) -> Dict[str, object]:
-    """Simulate two correlated traits with shared QTL.
+    """Simulate n_traits correlated traits with shared QTL.
 
-    rg: genetic correlation of QTL effects; re: residual correlation.
-    missing_frac: fraction of trait-2 phenotypes set to missing.
+    rg: genetic correlation of QTL effects (all pairs); re: residual
+    correlation (all pairs). missing_frac: fraction of trait-2 phenotypes
+    set to missing. h2 is cycled/truncated to n_traits entries. The default
+    n_traits=2 reproduces the historical 2-trait draws exactly.
     """
+    t = int(n_traits)
+    if t < 2:
+        raise ValueError("simulate_genomic_data_mt needs n_traits >= 2")
     rng = np.random.default_rng(seed)
     freqs = rng.uniform(0.05, 0.95, size=p)
     X = rng.binomial(2, freqs[None, :], size=(n, p)).astype(np.float32)
     Xc = X - X.mean(axis=0)
     qtl = rng.choice(p, size=n_qtl, replace=False)
-    G_eff = np.array([[1.0, rg], [rg, 1.0]])
-    eff = rng.multivariate_normal(np.zeros(2), G_eff, size=n_qtl)
-    effects = np.zeros((p, 2))
+    G_eff = np.full((t, t), rg)
+    np.fill_diagonal(G_eff, 1.0)
+    eff = rng.multivariate_normal(np.zeros(t), G_eff, size=n_qtl)
+    effects = np.zeros((p, t))
     effects[qtl] = eff
-    bv = Xc @ effects                          # (n, 2)
+    bv = Xc @ effects                          # (n, t)
     var_g = bv.var(axis=0)
-    var_e = var_g * (1 - np.asarray(h2)) / np.asarray(h2)
-    Re = np.array(
-        [
-            [var_e[0], re * np.sqrt(var_e[0] * var_e[1])],
-            [re * np.sqrt(var_e[0] * var_e[1]), var_e[1]],
-        ]
-    )
-    err = rng.multivariate_normal(np.zeros(2), Re, size=n)
-    y = np.array([5.0, -2.0])[None, :] + bv + err
+    h2v = np.resize(np.asarray(h2, dtype=np.float64), t)
+    var_e = var_g * (1 - h2v) / h2v
+    sd_e = np.sqrt(var_e)
+    Re = re * np.outer(sd_e, sd_e)
+    np.fill_diagonal(Re, var_e)
+    err = rng.multivariate_normal(np.zeros(t), Re, size=n)
+    mu = np.resize(np.array([5.0, -2.0, 1.0, -0.5]), t)
+    y = mu[None, :] + bv + err
     ids = [f"ind{i+1}" for i in range(n)]
-    pheno = pd.DataFrame({"ID": ids, "y1": y[:, 0], "y2": y[:, 1]})
+    pheno = pd.DataFrame({"ID": ids})
+    for k in range(t):
+        pheno[f"y{k+1}"] = y[:, k]
     if missing_frac > 0:
         miss = rng.uniform(size=n) < missing_frac
         pheno.loc[miss, "y2"] = np.nan

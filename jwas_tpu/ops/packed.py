@@ -236,11 +236,14 @@ def sweep_blocks_abc_packed(pm: PackedMarkers, alpha, beta, delta, ycorr,
     )
 
 
-@partial(jax.jit, static_argnames=("nreps", "sync_every", "chunk", "host_store"))
+@partial(jax.jit, static_argnames=("nreps", "sync_every", "chunk", "host_store",
+                                   "use_pallas", "interpret"))
 def sweep_blocks_bayesr_packed(pm: PackedMarkers, alpha, delta, ycorr,
                                rinv, vare, sigma_sq, pi, key, nreps: int = 1,
                                sync_every=None, chunk: int = 0,
-                               host_store: bool = False):
+                               host_store: bool = False,
+                               use_pallas: bool = False,
+                               interpret: bool = False):
     """Fast-blocks BayesR 4-class sweep over the packed store.
 
     Identical math to markers.sweep_blocks_bayesr (BayesR.jl:99-193) with the
@@ -278,12 +281,20 @@ def sweep_blocks_bayesr_packed(pm: PackedMarkers, alpha, delta, ycorr,
             packed_rhs(pm, w, chunk=chunk, host_store=host_store), nblocks, b
         )
         kg, kz = jax.random.split(kr)
-        gum = jax.random.gumbel(kg, (reps * b, nblocks, 4), dtype=dtype)
-        zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
         alpha_start = alpha_b
-        alpha_b, delta_b, _ = mk._blocked_round(
-            None, step, (alpha_b, delta_b, rhs0), (gum, zs), reps, b
-        )
+        if use_pallas:
+            from jwas_tpu.ops.pallas_sweep import bayesr_inner_rounds_pallas
+
+            alpha_b, delta_b, _ = bayesr_inner_rounds_pallas(
+                pm.grams, xpx_b, log_pi, alpha_b, delta_b, rhs0,
+                inv_vare, sigma_sq, kg, kz, nreps=reps, interpret=interpret,
+            )
+        else:
+            gum = jax.random.gumbel(kg, (reps * b, nblocks, 4), dtype=dtype)
+            zs = jax.random.normal(kz, (reps * b, nblocks), dtype=dtype)
+            alpha_b, delta_b, _ = mk._blocked_round(
+                None, step, (alpha_b, delta_b, rhs0), (gum, zs), reps, b
+            )
         ycorr = ycorr + packed_matvec(
             pm, mk._from_jmajor(alpha_start - alpha_b), chunk=chunk,
             n_obs=ycorr.shape[0], host_store=host_store,

@@ -316,6 +316,179 @@ def abc_inner_rounds_pallas(grams, xpx_b, var_eff_b, log_pi, log_pi_comp,
     return alpha_o, beta_o, delta_o, rhs_o
 
 
+BAYESR_GAMMA = (0.0, 0.01, 0.1, 1.0)    # class variance scales (markers.py:52)
+
+
+def _bayesr_kernel_resident(nreps: int, b: int, lanes: int,
+                            xpx_ref, lp0_ref, lp1_ref, lp2_ref, lp3_ref,
+                            scal_ref,
+                            gum_hbm, zs_hbm, grams_hbm,
+                            alpha_in, delta_in, rhs_in,
+                            alpha_ref, delta_ref, rhs_ref,
+                            gram_buf, gum_buf, z_buf,
+                            gram_sem, gum_sems, z_sems):
+    """Resident-Gram BayesR grid cell: the 4-class mixture update chain
+    (markers._bayesr_update; BayesR.jl:45-97) with the whole Gram tile in
+    VMEM; per-round Gumbel panels + normals double-buffered from HBM."""
+    del alpha_in, delta_in, rhs_in
+    k0 = pl.program_id(0) * lanes
+    inv_vare = scal_ref[0]
+    sigma_sq = scal_ref[1]
+    n_steps = nreps * b
+
+    gcopy = pltpu.make_async_copy(
+        grams_hbm.at[:, :, pl.ds(k0, lanes)], gram_buf, gram_sem
+    )
+    gcopy.start()
+
+    def rng_dma(slot, rnd):
+        return pltpu.make_async_copy(
+            gum_hbm.at[:, pl.ds(rnd * b, b), pl.ds(k0, lanes)],
+            gum_buf.at[slot], gum_sems.at[slot],
+        ), pltpu.make_async_copy(
+            zs_hbm.at[pl.ds(rnd * b, b), pl.ds(k0, lanes)],
+            z_buf.at[slot], z_sems.at[slot],
+        )
+
+    for d in rng_dma(0, 0):
+        d.start()
+    gcopy.wait()
+
+    lp_refs = (lp0_ref, lp1_ref, lp2_ref, lp3_ref)
+
+    def body(step, _):
+        j = step % b
+        rnd = step // b
+        rslot = rnd % 2
+
+        @pl.when(jnp.logical_and(j == 0, rnd + 1 < nreps))
+        def _():
+            for d in rng_dma((rnd + 1) % 2, rnd + 1):
+                d.start()
+
+        @pl.when(j == 0)
+        def _():
+            for d in rng_dma(rslot, rnd):
+                d.wait()
+
+        a_j = alpha_ref[j, :]
+        xpx_j = xpx_ref[j, :]
+        rhs = (rhs_ref[j, :] + xpx_j * a_j) * inv_vare
+        z = z_buf[rslot, j, :]
+
+        # class 0 (spike), then slab classes 1..3; first-max tie-breaking
+        # matches jnp.argmax in the XLA path
+        best = lp_refs[0][j, :] + gum_buf[rslot, 0, j, :]
+        kv = jnp.zeros_like(best, dtype=jnp.int32)
+        bh_b = jnp.zeros_like(best)
+        il_b = jnp.zeros_like(best)
+        for k in (1, 2, 3):
+            var_eff = BAYESR_GAMMA[k] * sigma_sq
+            lhs = xpx_j * inv_vare + 1.0 / var_eff
+            il = 1.0 / lhs
+            bh = il * rhs
+            ll = 0.5 * (jnp.log(il) - jnp.log(var_eff) + bh * rhs)
+            score = lp_refs[k][j, :] + ll + gum_buf[rslot, k, j, :]
+            upd = score > best
+            best = jnp.where(upd, score, best)
+            kv = jnp.where(upd, k, kv)
+            bh_b = jnp.where(upd, bh, bh_b)
+            il_b = jnp.where(upd, il, il_b)
+        a_new = jnp.where(kv == 0, 0.0, bh_b + z * jnp.sqrt(il_b))
+
+        alpha_ref[j, :] = a_new
+        delta_ref[j, :] = kv
+        rhs_ref[:, :] = rhs_ref[:, :] + (a_j - a_new)[None, :] * gram_buf[j]
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nreps", "interpret"))
+def bayesr_inner_rounds_pallas(grams, xpx_b, log_pi_b, alpha_b, delta_b, rhs0,
+                               inv_vare, sigma_sq, kg, kz,
+                               nreps: int, interpret: bool = False):
+    """Run nreps rounds of the BayesR within-block update chain on every
+    block. grams: (b, b, nblocks); xpx_b/alpha_b/rhs0: (b, nblocks);
+    log_pi_b: (b, nblocks, 4) log class priors; delta_b: (b, nblocks) int32
+    class labels. Draws (gumbel panels + normals) are generated here exactly
+    as the XLA path in ops/grouped.py draws them, so outputs match the scan
+    bit-for-bit in interpret mode. Requires the resident-Gram budget (raises
+    otherwise — callers gate on pallas_resident_ok)."""
+    b, _, nblocks = grams.shape
+    if nblocks % LANES:
+        raise ValueError(f"nblocks ({nblocks}) must be a multiple of {LANES}")
+    lanes = _pick_resident_lanes(nblocks, b)
+    if not lanes:
+        raise ValueError(
+            f"BayesR Pallas kernel requires the resident-Gram budget "
+            f"(b={b} too large); use the XLA sweep"
+        )
+    grid = (nblocks // lanes,)
+    dtype = rhs0.dtype
+    gum = jax.random.gumbel(kg, (nreps * b, nblocks, 4), dtype=dtype)
+    zs = jax.random.normal(kz, (nreps * b, nblocks), dtype=dtype)
+    gum_t = jnp.moveaxis(gum, 2, 0)           # (4, nreps*b, nblocks)
+    lp = [log_pi_b[:, :, k] for k in range(4)]
+
+    tile = lambda i: (0, i)                   # noqa: E731
+    kernel = partial(_bayesr_kernel_resident, nreps, b, lanes)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # xpx
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # lp0
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # lp1
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # lp2
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # lp3
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # scalars
+            pl.BlockSpec(memory_space=pl.ANY),                       # gum
+            pl.BlockSpec(memory_space=pl.ANY),                       # zs
+            pl.BlockSpec(memory_space=pl.ANY),                       # grams
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # alpha
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # delta
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),   # rhs
+        ],
+        out_specs=[
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lanes), tile, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nblocks), dtype),
+            jax.ShapeDtypeStruct((b, nblocks), jnp.int32),
+            jax.ShapeDtypeStruct((b, nblocks), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, b, lanes), dtype),        # resident Gram tile
+            pltpu.VMEM((2, 4, b, lanes), dtype),     # gumbel double buffer
+            pltpu.VMEM((2, b, lanes), dtype),        # normals double buffer
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={9: 0, 10: 1, 11: 2},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nreps * b * b * nblocks,
+            bytes_accessed=4 * nreps * b * b * nblocks,
+            transcendentals=9 * nreps * b * nblocks,
+        ),
+        interpret=interpret,
+    )(
+        xpx_b, lp[0], lp[1], lp[2], lp[3],
+        jnp.asarray([inv_vare, sigma_sq], dtype), gum_t, zs, grams,
+        alpha_b, delta_b.astype(jnp.int32), rhs0,
+    )
+    alpha_o, delta_o, rhs_o = out
+    return alpha_o, delta_o, rhs_o
+
+
+def pallas_resident_ok(nblocks: int, b: int) -> bool:
+    """True when the resident-Gram kernels can run at this block shape."""
+    return nblocks % LANES == 0 and _pick_resident_lanes(nblocks, b) > 0
+
+
 def sweep_blocks_abc_pallas_packed(pm, alpha, beta, delta, ycorr, rinv, vare,
                                    var_eff, pi, key, nreps: int = 1,
                                    sync_every=None, interpret: bool = False,
@@ -388,6 +561,44 @@ def sweep_blocks_abc_pallas_packed(pm, alpha, beta, delta, ycorr, rinv, vare,
         mk._from_jmajor(delta_b),
         ycorr,
     )
+
+
+def sweep_blocks_bayesr_pallas(md, alpha, delta, ycorr, rinv, vare,
+                               sigma_sq, pi, key, nreps: int = 1,
+                               sync_every=None, interpret: bool = False):
+    """Drop-in replacement for markers.sweep_blocks_bayesr with the inner
+    rounds in the resident-Gram BayesR kernel. Same inputs, same draws,
+    same outputs (identical sync-round key derivation)."""
+    from jwas_tpu.ops import markers as mk
+
+    b, _, nblocks = md.grams.shape
+    dtype = ycorr.dtype
+    log_pi = jnp.transpose(
+        jnp.log(jnp.clip(pi.astype(dtype), 1e-12, 1.0)).reshape(nblocks, b, 4),
+        (1, 0, 2),
+    )  # (b, nblocks, 4)
+    xpx_b = mk._to_jmajor(md.xpx, nblocks, b)
+    inv_vare = 1.0 / vare
+
+    def round_fn(stt, kr, reps):
+        alpha_b, delta_b, ycorr = stt
+        w = ycorr if rinv is None else rinv * ycorr
+        rhs0 = mk._to_jmajor(md.X.T @ w, nblocks, b)
+        kg, kz = jax.random.split(kr)
+        alpha_start = alpha_b
+        alpha_b, delta_b, _ = bayesr_inner_rounds_pallas(
+            md.grams, xpx_b, log_pi, alpha_b, delta_b, rhs0,
+            inv_vare, sigma_sq, kg, kz, nreps=reps, interpret=interpret,
+        )
+        ycorr = ycorr + md.X @ mk._from_jmajor(alpha_start - alpha_b)
+        return (alpha_b, delta_b, ycorr)
+
+    alpha_b, delta_b, ycorr = mk._sync_rounds(
+        nreps, sync_every, key, round_fn,
+        (mk._to_jmajor(alpha, nblocks, b), mk._to_jmajor(delta, nblocks, b),
+         ycorr),
+    )
+    return mk._from_jmajor(alpha_b), mk._from_jmajor(delta_b), ycorr
 
 
 def sweep_blocks_abc_pallas(md, alpha, beta, delta, ycorr, rinv, vare,

@@ -412,6 +412,38 @@ def test_bayesr_grouped_multigroup_accuracy():
     assert np.corrcoef(ebv, truth)[0, 1] > 0.8
 
 
+def test_grouped_pallas_matches_xla_abc_and_bayesr():
+    """use_pallas=True (interpret) reproduces the XLA grouped sweeps exactly
+    for both the spike-slab and the BayesR kernels (2 sequential groups,
+    gb=128 = the kernel lane quantum)."""
+    gm, pm, X, y, _ = _make_problem(n=40, p=8 * 256, b=8, gb=128, seed=9)
+    p = X.shape[1]
+    st = _init(p, y)
+    key = jax.random.PRNGKey(21)
+    args = (st["alpha"], st["beta"], st["delta"], st["ycorr"], None,
+            st["vare"], st["var_eff"], st["pi"], key)
+    out_x = gr.sweep_blocks_abc_grouped(gm, *args, nreps=3, sync_every=2)
+    out_p = gr.sweep_blocks_abc_grouped(gm, *args, nreps=3, sync_every=2,
+                                        use_pallas=True, interpret=True)
+    for a, b_ in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+
+    pi_r = jnp.broadcast_to(
+        jnp.asarray([0.9, 0.05, 0.03, 0.02], jnp.float32), (p, 4)
+    )
+    argsr = (st["alpha"], jnp.zeros((p,), jnp.int32), st["ycorr"], None,
+             st["vare"], jnp.asarray(0.3, jnp.float32), pi_r, key)
+    out_xr = gr.sweep_blocks_bayesr_grouped(gm, *argsr, nreps=3, sync_every=2)
+    out_pr = gr.sweep_blocks_bayesr_grouped(gm, *argsr, nreps=3, sync_every=2,
+                                            use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_xr[1]), np.asarray(out_pr[1]))
+    np.testing.assert_allclose(np.asarray(out_xr[0]), np.asarray(out_pr[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_xr[2]), np.asarray(out_pr[2]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_runmcmc_packed_bayesr_end_to_end():
     """runMCMC with storage='2bit' + BayesR routes through the packed BayesR
     sweeps (grouped when host-offloaded) and recovers the signal."""
