@@ -5,12 +5,16 @@ second for the blocked (fast_blocks) BayesC sampler, using the reference's
 own block-mode accounting (each outer iteration performs nreps inner sweeps;
 chain length is rescaled accordingly, JWAS.jl:293-316).
 
-Default configuration is the NORTH-STAR problem size from BASELINE.md:
-p = 1,048,576 markers (>=1M) on one chip, held as a 2-bit packed store
-(streaming_genotypes.jl analogue; dense f32 X would be 47 GB and cannot fit),
-with the Pallas kernel running the inner block rounds and the residual-sync
-GEMVs streaming decoded tiles from the packed store. BENCH_MODE=dense selects
-the previous dense-f32 configuration (p=98,304 sized to HBM).
+Modes (BENCH_MODE; default "northstar" on TPU backends):
+- northstar — the EXACT workload of BASELINE.md row 1: N=50k x P=2M,
+  L=2000 effective sweeps, 26 GB 2-bit store streaming from pinned host
+  memory (> one v5e's 16 GB HBM — completing at all is the out-of-core
+  proof); reports chain rate, full-run wall clock vs the reference's
+  3,449 s, and EBV accuracy vs the simulated truth.
+- packed — the device-resident grouped configuration (p=1M, n=12k, 3.3 GB
+  store in HBM), the engine's single-chip path for stores that fit.
+- dense — dense-f32 X sized to HBM (p=98,304), the small-p code path.
+Every mode reports ebv_accuracy: a diverged chain cannot pass as fast.
 
 vs_baseline compares against the reference's BEST published configuration:
 blocked BayesC at N=50k, P=2M, L=2000 effective sweeps in 3,449 s on a
@@ -71,72 +75,14 @@ def _build_dense(jax, jnp, n, p, block, dtype):
     beta_true = jax.random.normal(ke, (p,)) * jnp.where(
         jax.random.uniform(ke, (p,)) < 0.01, 1.0, 0.0
     )
-    y = X @ beta_true + jax.random.normal(ke, (n,)) * 1.0
+    tbv = X @ beta_true
+    y = tbv + jax.random.normal(ke, (n,)) * 1.0
     y = y - jnp.mean(y)
     md = mk.build_marker_blocks(X, block_size=block)
-    return md, None, y
+    return md, None, y, tbv
 
 
-def _build_packed(jax, jnp, n, p, block, dtype):
-    """Synthetic 2-bit packed store generated and packed on device, plus the
-    fast-blocks Gram tiles decoded from it (the north-star memory layout:
-    packed 2-bit X = n*p/4 bytes, grams = 4*b*p bytes)."""
-    from jwas_tpu.ops.packed import packed_markers_from_arrays, packed_matvec
-
-    key = jax.random.PRNGKey(0)
-    p_pad = -(-p // block) * block          # tail markers are valid=0 padding
-    n_pad = -(-n // 4) * 4
-    bpm = n_pad // 4
-
-    @jax.jit
-    def gen_packed_chunk(k, f):
-        # (chunk, n_pad) codes in {0,1,2}; tail columns read as code 0 and are
-        # excluded by the identity fast path's n_obs slice.
-        k1, k2 = jax.random.split(k)
-        cn = f.shape[0]
-        u1 = jax.random.uniform(k1, (cn, n_pad))
-        u2 = jax.random.uniform(k2, (cn, n_pad))
-        codes = (u1 < f[:, None]).astype(jnp.uint8) + (u2 < f[:, None]).astype(jnp.uint8)
-        c = codes.reshape(cn, bpm, 4)
-        packed = (
-            c[:, :, 0]
-            | (c[:, :, 1] << 2)
-            | (c[:, :, 2] << 4)
-            | (c[:, :, 3] << 6)
-        )
-        return packed
-
-    kf = jax.random.fold_in(key, 1)
-    freqs = jax.random.uniform(kf, (p_pad,), minval=0.1, maxval=0.9)
-    chunk = 32_768
-    parts = []
-    for c0 in range(0, p_pad, chunk):
-        c1 = min(c0 + chunk, p_pad)
-        parts.append(gen_packed_chunk(jax.random.fold_in(key, c0), freqs[c0:c1]))
-    packed = jnp.concatenate(parts, axis=0)
-    del parts
-    means = 2.0 * freqs  # theoretical column means; consistent across decode
-    valid = (jnp.arange(p_pad) < p).astype(dtype)
-
-    t0 = time.perf_counter()
-    pm = packed_markers_from_arrays(
-        packed, means.astype(jnp.float32), valid, None, n, block,
-        dtype=dtype, gram_chunk=32,
-    )
-    _sync(pm.xpx)
-    print(f"# gram precompute: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    ke = jax.random.fold_in(key, 2)
-    beta_true = valid * jax.random.normal(ke, (p_pad,)) * jnp.where(
-        jax.random.uniform(ke, (p_pad,)) < 0.001, 1.0, 0.0
-    )
-    y = packed_matvec(pm, beta_true.astype(dtype), n_obs=n)
-    y = y + jax.random.normal(ke, (n,)).astype(dtype)
-    y = y - jnp.mean(y)
-    return None, pm, y
-
-
-def _build_northstar(jax, jnp, n, p, block, gb, dtype):
+def _build_northstar(jax, jnp, n, p, block, gb, dtype, device_store=False):
     """The TRUE north-star shape (BASELINE.md row 1: N=50k, P=2M): a 2-bit
     packed store LARGER THAN ONE CHIP'S HBM (26 GB vs 16 GB on v5e), built
     directly into pinned host memory group by group and swept with the
@@ -183,11 +129,14 @@ def _build_northstar(jax, jnp, n, p, block, gb, dtype):
         return jnp.concatenate(parts, axis=0)
 
     t0 = time.perf_counter()
-    if os.environ.get("BENCH_DEVICE_STORE", "0") == "1":
-        # diagnostic: whole store device-resident (must fit HBM)
-        parts_d = [gen_group(g) for g in range(ngroups)]
-        store = jnp.stack(parts_d)
-        del parts_d
+    if device_store or os.environ.get("BENCH_DEVICE_STORE", "0") == "1":
+        # store device-resident (must fit HBM with the Gram tiles): one scan
+        # generates straight into the stacked device buffer
+        _, store = jax.jit(
+            lambda: jax.lax.scan(
+                lambda _, g: (None, gen_group(g)), None, jnp.arange(ngroups)
+            )
+        )()
     else:
         store = materialize_grouped_host(gen_group, ngroups, G, bpm)
     store.block_until_ready()
@@ -227,29 +176,52 @@ def _build_northstar(jax, jnp, n, p, block, gb, dtype):
     return gm, y, host, g
 
 
-def run_northstar(jax, jnp):
+def run_northstar(jax, jnp, *, n_default=50_000, p_default=2_097_152,
+                  block_default=128, chain_default=2_000,
+                  device_store=False, mode_name="northstar"):
     """Full north-star run: N=50k x P=2M, L=2000 effective sweeps — the
     EXACT workload of BASELINE.md row 1 (benchmark.md:47-62, 3,449 s on a
     64-CPU node), executed end-to-end with the 26 GB packed store streaming
     from pinned host memory (> one v5e's 16 GB HBM, so completing is the
     out-of-core proof). Reports the chain-rate headline plus the full-run
-    wall clock (store build + Grams + compile + chain) against 3,449 s."""
+    wall clock (store build + Grams + compile + chain) against 3,449 s.
+    The same harness also runs the device-resident grouped configuration
+    (mode "packed": the single-chip path for stores that fit HBM)."""
     from jwas_tpu.engine.mcmc import (STData, STEngineCfg, _init_accum,
                                       make_run_window)
     from jwas_tpu.engine.state import ChainState
 
-    n = int(os.environ.get("BENCH_N", 50_000))
-    p = int(os.environ.get("BENCH_P", 2_097_152))
-    block = int(os.environ.get("BENCH_BLOCK", 128))
+    n = int(os.environ.get("BENCH_N", n_default))
+    p = int(os.environ.get("BENCH_P", p_default))
+    block = int(os.environ.get("BENCH_BLOCK", block_default))
     gbk = int(os.environ.get("BENCH_GROUP_BLOCKS", 128))
     nreps = int(os.environ.get("BENCH_NREPS", block))
-    L = int(os.environ.get("BENCH_CHAIN", 2_000))
+    L = int(os.environ.get("BENCH_CHAIN", chain_default))
     n_outer = -(-L // nreps)
     sync_every = int(os.environ.get("BENCH_SYNC", 32))
     dtype = jnp.float32
+    from jwas_tpu.ops.grouped import STALE_FRACTION
+
+    if block * gbk > STALE_FRACTION * n:
+        print(f"# WARNING: stale set b*gb={block*gbk} exceeds "
+              f"{STALE_FRACTION}*n={STALE_FRACTION*n:.0f} — the parallel "
+              f"blocked update may diverge (watch ebv_accuracy)",
+              file=sys.stderr)
 
     t_all = time.perf_counter()
-    gm, y, host, tbv = _build_northstar(jax, jnp, n, p, block, gbk, dtype)
+    gm, y, host, tbv = _build_northstar(jax, jnp, n, p, block, gbk, dtype,
+                                        device_store=device_store)
+    if host and os.environ.get("BENCH_HYBRID", "1") == "1":
+        from jwas_tpu.ops.grouped import hybridize
+
+        t_h = time.perf_counter()
+        gm = hybridize(gm)
+        if gm.dev_store is not None:
+            gm.dev_store.block_until_ready()
+            print(f"# hybrid split: {gm.dev_store.shape[0]}/{gm.store.shape[0]} "
+                  f"groups device-resident "
+                  f"({gm.dev_store.size/1e9:.1f} GB HBM, "
+                  f"{time.perf_counter()-t_h:.1f}s)", file=sys.stderr)
     p_pad = gm.xpx.shape[0]
     nblocks = gm.grams.shape[2]
 
@@ -278,6 +250,7 @@ def run_northstar(jax, jnp):
         valid=gm.valid, Vinv=(), vc_scale=(),
         out_geno=jnp.zeros((0, p), dtype), out_W=jnp.zeros((0, K), dtype),
         packed=gm.store, packed_means=gm.means, row_perm=gm.row_perm,
+        packed_dev=gm.dev_store,
     )
     pi0 = jnp.where(gm.valid > 0, 0.999, 1.0).astype(dtype)
     state = ChainState(
@@ -332,7 +305,7 @@ def run_northstar(jax, jnp):
         )
     )
     print(
-        f"# mode=northstar n={n} p={p} ({gm.store.size/1e9:.1f} GB packed, "
+        f"# mode={mode_name} n={n} p={p} ({gm.store.size/1e9:.1f} GB packed, "
         f"pinned_host={host}) block={block} group_blocks={gbk} nreps={nreps} "
         f"sync={sync_every} outer={n_outer} effective_sweeps={nreps*n_outer} "
         f"chain={chain_s:.1f}s full_run={full_s:.1f}s "
@@ -344,6 +317,110 @@ def run_northstar(jax, jnp):
     )
 
 
+def run_mt(jax, jnp):
+    """Multi-trait (t=2) blocked sampler-I rate at p >= 256k on one chip —
+    the measured MT perf point (XLA scan path; MTBayesABC.jl:243-646 is the
+    reference analogue, which has no published MT benchmark). Reports
+    marker-trait updates/s and EBV accuracy per trait vs simulated truth."""
+    from jwas_tpu.ops import markers as mk
+    from jwas_tpu.ops import multitrait as mt
+
+    t = 2
+    n = int(os.environ.get("BENCH_N", 8_000))
+    p = int(os.environ.get("BENCH_P", 262_144))
+    block = int(os.environ.get("BENCH_BLOCK", 64))
+    nreps = int(os.environ.get("BENCH_NREPS", 64))
+    n_outer = int(os.environ.get("BENCH_OUTER", 4))
+    sync_every = int(os.environ.get("BENCH_SYNC", 8))
+    dtype = jnp.float32
+
+    key = jax.random.PRNGKey(0)
+    kf, ke = jax.random.split(key)
+    freqs = jax.random.uniform(kf, (p,), minval=0.1, maxval=0.9)
+
+    @jax.jit
+    def gen_chunk(k, f):
+        k1, k2 = jax.random.split(k)
+        cn = f.shape[0]
+        raw = (
+            (jax.random.uniform(k1, (n, cn)) < f).astype(dtype)
+            + (jax.random.uniform(k2, (n, cn)) < f).astype(dtype)
+        )
+        return raw - 2.0 * f[None, :]
+
+    chunk = 16_384
+    cols = [gen_chunk(jax.random.fold_in(key, c0), freqs[c0:min(c0 + chunk, p)])
+            for c0 in range(0, p, chunk)]
+    X = jnp.concatenate(cols, axis=1)
+    del cols
+    t_setup = time.perf_counter()
+    md = mk.build_marker_blocks(X, block_size=block)
+    _sync(md.xpx)
+    print(f"# MT grams: {time.perf_counter() - t_setup:.1f}s "
+          f"(X {X.size * 4 / 1e9:.1f} GB)", file=sys.stderr)
+
+    # shared QTL, genetic correlation 0.6, h2 = 0.5 per trait
+    qtl = jax.random.uniform(ke, (p,)) < 0.002
+    e1 = jax.random.normal(jax.random.fold_in(ke, 1), (p,))
+    e2 = 0.6 * e1 + 0.8 * jax.random.normal(jax.random.fold_in(ke, 2), (p,))
+    eff = jnp.stack([e1, e2]) * qtl[None, :].astype(dtype)
+    tbv = jnp.einsum("np,tp->tn", X, eff)
+    noise = jax.random.normal(jax.random.fold_in(ke, 3), (t, n))
+    y = tbv + noise * jnp.std(tbv, axis=1, keepdims=True)
+    y = y - jnp.mean(y, axis=1, keepdims=True)
+
+    genvar = jnp.var(tbv, axis=1)
+    R = jnp.diag(genvar)                      # h2=0.5: vare ~ genvar
+    ginv = jnp.linalg.inv(jnp.eye(t) * 0.5)
+    pi = jnp.asarray([0.996, 0.001, 0.001, 0.002], dtype)
+
+    p_pad = md.X.shape[1]
+    alpha = jnp.zeros((t, p_pad), dtype)
+    beta = jnp.zeros((t, p_pad), dtype)
+    delta = jnp.zeros((t, p_pad), dtype)
+    ycorr = y
+
+    run = jax.jit(
+        lambda alpha, beta, delta, ycorr, k: mt.mt_abc_blocks_I(
+            md, alpha, beta, delta, ycorr, None, R, ginv, pi, k,
+            nreps=nreps, sync_every=sync_every,
+        )
+    )
+
+    t_c = time.perf_counter()
+    alpha, beta, delta, ycorr = run(alpha, beta, delta, ycorr,
+                                    jax.random.fold_in(key, 100))
+    _sync(alpha)
+    print(f"# compile+warmup: {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr)
+
+    acc_sum = jnp.zeros((t, p_pad), dtype)
+    t0 = time.perf_counter()
+    for i in range(n_outer):
+        alpha, beta, delta, ycorr = run(alpha, beta, delta, ycorr,
+                                        jax.random.fold_in(key, 101 + i))
+        acc_sum = acc_sum + alpha
+    _sync(alpha)
+    dt = time.perf_counter() - t0
+
+    import numpy as _np
+
+    ebv = jnp.einsum("np,tp->tn", md.X, acc_sum / n_outer)
+    accs = [float(_np.corrcoef(_np.asarray(ebv[k]), _np.asarray(tbv[k]))[0, 1])
+            for k in range(t)]
+    rate = t * p * nreps * n_outer / dt
+    print(json.dumps({
+        "metric": "mt_marker_trait_updates_per_sec",
+        "value": round(rate, 1), "unit": "updates/s",
+        "vs_baseline": round(rate / BASELINE_UPDATES_PER_SEC, 2),
+    }))
+    print(f"# mode=mt t={t} n={n} p={p} block={block} nreps={nreps} "
+          f"sync={sync_every} outer={n_outer} wall={dt:.2f}s "
+          f"sweeps/s={nreps*n_outer/dt:.2f} "
+          f"ebv_accuracy={accs[0]:.3f},{accs[1]:.3f} "
+          f"device={jax.devices()[0]}", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -352,44 +429,45 @@ def main():
     # channel-setup cost over the tunnel; pay it now so timed fetches are ~30ms.
     _sync(jnp.ones((1,)))
 
-    mode = os.environ.get("BENCH_MODE", "packed")
+    # driver default: the full north-star workload on TPU backends; the
+    # grouped device-store configuration otherwise (override via BENCH_MODE)
+    default_mode = (
+        "northstar" if jax.default_backend() in ("tpu", "axon") else "packed"
+    )
+    mode = os.environ.get("BENCH_MODE", default_mode)
     if mode == "northstar":
         return run_northstar(jax, jnp)
+    if mode == "mt":
+        return run_mt(jax, jnp)
+    if mode == "packed":
+        # single-chip device-resident grouped path: p >= 1M markers, 2-bit
+        # store (3.3 GB at n=12k) + Gram tiles; b chosen under the stability
+        # cap (b=32 x gb=128 = 4096 stale markers <= 0.4 n)
+        return run_northstar(
+            jax, jnp, n_default=12_000, p_default=1_048_576,
+            block_default=32, chain_default=1_024, device_store=True,
+            mode_name="packed-device",
+        )
 
     from jwas_tpu.engine.mcmc import STEngineCfg, make_run_window, _init_accum, STData
     from jwas_tpu.engine.state import ChainState
-    if mode == "packed":
-        # North star: p >= 1M markers on one chip (BASELINE.md), 2-bit packed
-        # (3 GB at n=12k) + b=128 Gram tiles (0.5 GB).
-        n = int(os.environ.get("BENCH_N", 12_000))
-        p = int(os.environ.get("BENCH_P", 1_048_576))
-        block = int(os.environ.get("BENCH_BLOCK", 128))
-    else:
-        # dense f32 X sized to one chip's HBM (4.7 GB at these defaults)
-        n = int(os.environ.get("BENCH_N", 12_000))
-        p = int(os.environ.get("BENCH_P", 98_304))
-        block = int(os.environ.get("BENCH_BLOCK", 256))
+    # dense f32 X sized to one chip's HBM (4.7 GB at these defaults)
+    n = int(os.environ.get("BENCH_N", 12_000))
+    p = int(os.environ.get("BENCH_P", 98_304))
+    block = int(os.environ.get("BENCH_BLOCK", 256))
     nreps = int(os.environ.get("BENCH_NREPS", block))
-    n_outer = int(os.environ.get("BENCH_OUTER", 2 if mode == "packed" else 4))
+    n_outer = int(os.environ.get("BENCH_OUTER", 4))
     dtype = jnp.float32
 
     t_setup = time.perf_counter()
-    if mode == "packed":
-        md, pm, y = _build_packed(jax, jnp, n, p, block, dtype)
-        xpx, grams, valid = pm.xpx, pm.grams, pm.valid
-        X = jnp.zeros((n, 0), dtype)
-        p_pad = pm.packed.shape[0]
-    else:
-        md, pm, y = _build_dense(jax, jnp, n, p, block, dtype)
-        X, xpx, grams, valid = md.X, md.xpx, md.grams, md.valid
-        p_pad = X.shape[1]
+    md, pm, y, tbv = _build_dense(jax, jnp, n, p, block, dtype)
+    X, xpx, grams, valid = md.X, md.xpx, md.grams, md.valid
+    p_pad = X.shape[1]
     print(f"# setup: {time.perf_counter() - t_setup:.1f}s", file=sys.stderr)
 
     K = 1
     W = jnp.ones((n, K), dtype)
-    vary_analytic = float(0.001 * p * 0.42 + 1.0) if mode == "packed" else (
-        0.01 * p * 0.42 + 1.0
-    )
+    vary_analytic = float(0.01 * p * 0.42 + 1.0)
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     sync_every = int(os.environ.get("BENCH_SYNC", min(8, nreps)))
@@ -401,7 +479,7 @@ def main():
         sync_every=sync_every,
         re_groups=(), df_residual=4.0, df_marker=4.0, has_weights=False,
         use_pallas=use_pallas and nblocks % 128 == 0,
-        is_packed=(mode == "packed"),
+        is_packed=False,
         scale_R=vary_analytic * 0.5,
     )
     data = STData(
@@ -409,9 +487,6 @@ def main():
         X=X, xpx=xpx, grams=grams, valid=valid,
         Vinv=(), vc_scale=(),
         out_geno=jnp.zeros((0, p), dtype), out_W=jnp.zeros((0, K), dtype),
-        packed=pm.packed if pm is not None else None,
-        packed_means=pm.means if pm is not None else None,
-        row_perm=pm.row_perm if pm is not None else None,
     )
     pi0 = jnp.where(valid > 0, 0.95, 1.0).astype(dtype)
     state = ChainState(
@@ -466,6 +541,10 @@ def main():
 
     effective_updates = p * nreps * n_outer
     rate = effective_updates / dt
+    import numpy as _np
+
+    ebv = X @ accum.alpha_m
+    ebv_acc = float(_np.corrcoef(_np.asarray(ebv), _np.asarray(tbv))[0, 1])
     print(
         json.dumps(
             {
@@ -480,6 +559,7 @@ def main():
         f"# mode={mode} n={n} p={p} block={block} nreps={nreps} sync={sync_every} "
         f"outer={n_outer} wall={dt:.2f}s sweeps/s={nreps*n_outer/dt:.2f} "
         f"vs_single_core_nonblock={rate/SINGLE_CORE_NONBLOCK:.0f}x "
+        f"ebv_accuracy={ebv_acc:.3f} "
         f"pallas={use_pallas} device={jax.devices()[0]}",
         file=sys.stderr,
     )

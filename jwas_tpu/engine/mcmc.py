@@ -72,6 +72,9 @@ class STData(NamedTuple):
     scale_r: Optional[jnp.ndarray] = None       # scalar residual-variance prior scale
                                                 # (device-resident so update_priors can
                                                 # change it without recompiling)
+    packed_dev: Optional[jnp.ndarray] = None    # hybrid out-of-core: device-resident
+                                                # copy of the leading store groups
+                                                # (grouped.hybridize)
 
 
 def assemble_lhs_lambda(re_groups, WtRinvW, Vinv, vc, vare):
@@ -169,7 +172,7 @@ def make_st_step(cfg: EngineCfg):
 
             gm = GroupedPackedMarkers(
                 data.packed, data.packed_means, data.row_perm,
-                data.xpx, data.grams, data.valid,
+                data.xpx, data.grams, data.valid, data.packed_dev,
             )
             interp = jax.default_backend() not in ("tpu", "axon")
             alpha, beta, delta, ycorr = sweep_blocks_abc_grouped(
@@ -255,7 +258,7 @@ def make_st_step(cfg: EngineCfg):
 
                 gm = GroupedPackedMarkers(
                     data.packed, data.packed_means, data.row_perm,
-                    data.xpx, data.grams, data.valid,
+                    data.xpx, data.grams, data.valid, data.packed_dev,
                 )
                 interp = jax.default_backend() not in ("tpu", "axon")
                 alpha, delta, ycorr = sweep_blocks_bayesr_grouped(
@@ -691,16 +694,30 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
             opts.host_offload_genotypes, store.packed.nbytes
         )
         has_missing_codes = True
-        if host_offload:
+        if marker_sharded:
+            packed_pm = build_packed_markers(
+                store, ws.obs_ids, bs,
+                rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
+                mesh=mesh,
+            )
+        else:
+            # grouped schedule for BOTH device-resident and host-offloaded
+            # stores: groups walk sequentially, so the parallel-stale marker
+            # set per sync round is b*gb, capped by the stability bound
+            # (grouped.STALE_FRACTION) — the flat sweep's stale set is ALL
+            # of p, which is metastable (can diverge) at p >> n.
             from jwas_tpu.ops.grouped import (
                 build_grouped_markers,
                 host_memory_supported,
+                pick_stable_blocks,
                 store_has_missing,
             )
 
+            bs, gb = pick_stable_blocks(n, bs, p)
             packed_pm = build_grouped_markers(
                 store, ws.obs_ids, bs,
                 rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
+                group_blocks=gb, host=host_offload,
             )
             # prefer the manifest flag recorded at packing time; only stores
             # from pre-flag manifests pay the full LUT scan
@@ -708,14 +725,13 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
                 store.has_missing if store.has_missing is not None
                 else store_has_missing(store.packed)
             )
-            host_offload = host_memory_supported()
+            host_offload = host_offload and host_memory_supported()
             grouped = True
-        else:
-            packed_pm = build_packed_markers(
-                store, ws.obs_ids, bs,
-                rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
-                mesh=mesh if marker_sharded else None,
-            )
+            if host_offload:
+                # hybrid out-of-core: spare HBM soaks up leading groups
+                from jwas_tpu.ops.grouped import hybridize
+
+                packed_pm = hybridize(packed_pm)
         X = jnp.zeros((n, 0), dtype)
         xpx = packed_pm.xpx
         grams = packed_pm.grams
@@ -921,6 +937,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         packed_means=packed_pm.means if packed_pm is not None else None,
         row_perm=packed_pm.row_perm if packed_pm is not None else None,
         scale_r=jnp.asarray(float(ws.scale_R), dtype),
+        packed_dev=packed_pm.dev_store if grouped else None,
     )
 
     # --- initial state ---

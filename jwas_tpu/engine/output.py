@@ -19,8 +19,24 @@ def _sd(m, m2):
     return np.sqrt(np.abs(np.asarray(m2) - np.asarray(m) ** 2))
 
 
+def check_finite_posteriors(vare_m, where: str = "the chain") -> None:
+    """Fail-fast divergence detection: a non-finite posterior mean of the
+    residual variance means the sampler exploded (most often the parallel
+    blocked update at an unstable stale-set size; see grouped.STALE_FRACTION)
+    — surface it instead of writing inf/nan results."""
+    v = np.asarray(vare_m)
+    if not np.all(np.isfinite(v)):
+        raise RuntimeError(
+            f"MCMC diverged: non-finite residual-variance posterior in "
+            f"{where}. Typical causes: an unstable blocked-update "
+            f"configuration (too many markers updated in parallel per sync "
+            f"round — lower fast_blocks / sync_every), or degenerate priors. "
+        )
+
+
 def build_results(ws, cfg, accum, samples, opts) -> Dict[str, pd.DataFrame]:
     model = ws.model
+    check_finite_posteriors(accum.vare_m)
     results: Dict[str, pd.DataFrame] = {}
 
     # location parameters

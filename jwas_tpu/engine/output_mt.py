@@ -26,6 +26,9 @@ def _cov_df(names, mat_m, mat_sd):
 
 
 def build_mt_results(ws, cfg, accum, samples, opts) -> Dict[str, pd.DataFrame]:
+    from jwas_tpu.engine.output import check_finite_posteriors
+
+    check_finite_posteriors(accum.R_m, "the multi-trait chain")
     model = ws.model
     t = cfg.n_traits
     results: Dict[str, pd.DataFrame] = {}

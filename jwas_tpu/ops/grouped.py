@@ -28,6 +28,7 @@ with 16 GB HBM — the store provably never materializes on device).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -54,6 +55,10 @@ class GroupedPackedMarkers(NamedTuple):
     xpx: jnp.ndarray        # (p_pad,) diag X'R^-1 X
     grams: jnp.ndarray      # (b, b, nblocks) j-major Gram tiles (device)
     valid: jnp.ndarray      # (p_pad,)
+    # hybrid out-of-core: device-resident copy of the FIRST k groups (spare
+    # HBM soaks up part of the store; only groups >= k stream over PCIe).
+    # None = no hybrid split. Groups are indexed globally either way.
+    dev_store: Optional[jnp.ndarray] = None   # (k, G, bpm) uint8 on device
 
 
 def host_memory_supported() -> bool:
@@ -91,6 +96,88 @@ def to_host_memory(x):
     if host_memory_supported():
         return jax.device_put(x, pinned_host_sharding())
     return x
+
+
+# Stability bound for the parallel-block inner rounds: within a group, all
+# b*group_blocks markers update against a shared (per-sync-round) residual —
+# independent-blocks semantics (BayesABC.jl:190-255). The parallel update is
+# a regularized Jacobi step whose coupling radius grows with the stale-set
+# aspect ratio q = G/n (Marchenko-Pastur support ~ q + 2 sqrt(q)); measured
+# on v5e synthetics: q = 0.33 is stable over 2048 sweeps, q = 0.66 diverges
+# within one outer iteration. Cap the stale set at 0.4 n with priority on
+# keeping the Pallas kernel's 128-block lane quantum by shrinking b.
+STALE_FRACTION = 0.4
+
+
+def pick_stable_blocks(n_obs: int, block_size: int, p: int):
+    """Choose (block_size, group_blocks) with b * gb <= STALE_FRACTION * n.
+
+    Prefers gb = 128 (the kernel lane quantum), shrinking b in multiples of
+    8 to honor the cap; for small n (or small p) falls back to smaller
+    groups (the sweep then uses the XLA inner rounds)."""
+    cap = max(64, int(STALE_FRACTION * n_obs))
+    b = max(8, (min(int(block_size), max(cap, 8)) // 8) * 8)
+    if -(-p // b) >= 128:
+        if b * 128 > cap:
+            b = (cap // 128) // 8 * 8
+        if b >= 8 and -(-p // b) >= 128:
+            return b, 128
+        b = 8
+    gb = min(-(-p // b), max(1, cap // b))
+    while b > 8 and b * gb > cap:
+        b = max(8, b - 8)
+        gb = min(-(-p // b), max(1, cap // b))
+    return b, gb
+
+
+def plan_device_groups(ngroups: int, G: int, bpm: int, grams_bytes: int,
+                       budget: Optional[int] = None,
+                       cushion: int = 7 << 29) -> int:
+    """Hybrid out-of-core split: how many leading groups fit in spare HBM.
+
+    budget defaults to the device's reported bytes_limit (JWAS_HBM_BYTES
+    override, 16 GB fallback); cushion reserves room for the chain state,
+    staged tiles, RNG panels, and compiler scratch (default 3.5 GB)."""
+    if budget is None:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            budget = int(stats.get("bytes_limit", 0))
+        except Exception:  # pragma: no cover - backend-dependent
+            budget = 0
+        if not budget:
+            budget = int(float(os.environ.get("JWAS_HBM_BYTES", 16e9)))
+    free = budget - int(grams_bytes) - cushion
+    per_group = G * bpm
+    if per_group <= 0 or free <= 0:
+        return 0
+    return max(0, min(ngroups, free // per_group))
+
+
+def to_device_memory(x):
+    """Copy (a slice of) a pinned-host array into device HBM."""
+    dev = jax.devices()[0]
+    return jax.device_put(
+        x, jax.sharding.SingleDeviceSharding(dev, memory_kind="device")
+    )
+
+
+def hybridize(gm: GroupedPackedMarkers,
+              budget: Optional[int] = None) -> GroupedPackedMarkers:
+    """Fill spare HBM with the leading groups of a host-resident grouped
+    store (PCIe traffic then only covers the remainder). No-op when the
+    store is already device-resident or nothing fits."""
+    if gm.dev_store is not None:
+        return gm
+    if getattr(gm.store, "sharding", None) is None or (
+        gm.store.sharding.memory_kind != "pinned_host"
+    ):
+        return gm
+    ngroups, G, bpm = gm.store.shape
+    k = plan_device_groups(ngroups, G, bpm, gm.grams.size * 4, budget=budget)
+    if k <= 0:
+        return gm
+    dev = to_device_memory(gm.store[:k])
+    return gm._replace(dev_store=dev)
 
 
 def pick_group_blocks(nblocks: int, prefer: int = 128, cap: int = 256) -> int:
@@ -351,23 +438,28 @@ def sweep_blocks_abc_grouped(gm: GroupedPackedMarkers, alpha, beta, delta,
     log_pi_comp = mk._to_jmajor(jnp.log1p(-pi_c + 1e-12), nblocks, b)
     xpx_b = mk._to_jmajor(gm.xpx, nblocks, b)
 
-    def group_fn(carry, g):
-        if prefetch:
+    n_dev = 0 if gm.dev_store is None else gm.dev_store.shape[0]
+
+    def dev_fetch(g):
+        return jax.lax.dynamic_slice(gm.dev_store, (g, 0, 0), (1, G, bpm))[0]
+
+    def host_fetch(g):
+        return _stage(
+            jax.lax.dynamic_slice(gm.store, (g, 0, 0), (1, G, bpm))[0],
+            host_store,
+        )
+
+    def group_fn(carry, g, fetch=host_fetch, pre=prefetch):
+        if pre:
             # software pipelining: `rows` (group g) was staged by the
             # PREVIOUS iteration; this iteration starts the H2D copy of
             # group g+1 for overlap with the compute below
             alpha_b, beta_b, delta_b, ycorr, rows = carry
             g_next = jnp.minimum(g + 1, ngroups - 1)
-            rows_next = _stage(
-                jax.lax.dynamic_slice(gm.store, (g_next, 0, 0), (1, G, bpm))[0],
-                host_store,
-            )
+            rows_next = fetch(g_next)
         else:
             alpha_b, beta_b, delta_b, ycorr = carry
-            rows = _stage(
-                jax.lax.dynamic_slice(gm.store, (g, 0, 0), (1, G, bpm))[0],
-                host_store,
-            )
+            rows = fetch(g)
         mns = jax.lax.dynamic_slice(gm.means, (g * G,), (G,))
 
         lane = lambda x: jax.lax.dynamic_slice(  # noqa: E731
@@ -436,24 +528,29 @@ def sweep_blocks_abc_grouped(gm: GroupedPackedMarkers, alpha, beta, delta,
         )
         out_carry = (put(alpha_b, a_g), put(beta_b, be_g),
                      put(delta_b, d_g), ycorr)
-        if prefetch:
+        if pre:
             out_carry = out_carry + (rows_next,)
         return out_carry, None
 
-    carry0 = (
+    carry = (
         mk._to_jmajor(alpha, nblocks, b),
         mk._to_jmajor(beta, nblocks, b),
         mk._to_jmajor(delta, nblocks, b),
         ycorr,
     )
-    if prefetch:
-        rows0 = _stage(
-            jax.lax.dynamic_slice(gm.store, (0, 0, 0), (1, G, bpm))[0],
-            host_store,
+    # hybrid split: groups [0, n_dev) read straight from HBM, the rest
+    # stream from the host store (sequential-exact order is preserved)
+    if n_dev:
+        carry, _ = jax.lax.scan(
+            lambda c, g: group_fn(c, g, fetch=dev_fetch, pre=False),
+            carry, jnp.arange(n_dev),
         )
-        carry0 = carry0 + (rows0,)
-    out_carry, _ = jax.lax.scan(group_fn, carry0, jnp.arange(ngroups))
-    alpha_b, beta_b, delta_b, ycorr = out_carry[:4]
+    if n_dev < ngroups:
+        if prefetch:
+            carry = carry + (host_fetch(n_dev),)
+        carry, _ = jax.lax.scan(group_fn, carry,
+                                jnp.arange(n_dev, ngroups))
+    alpha_b, beta_b, delta_b, ycorr = carry[:4]
     return (
         mk._from_jmajor(alpha_b),
         mk._from_jmajor(beta_b),
@@ -500,20 +597,25 @@ def sweep_blocks_bayesr_grouped(gm: GroupedPackedMarkers, alpha, delta,
     )  # (b, nblocks, 4)
     xpx_b = mk._to_jmajor(gm.xpx, nblocks, b)
 
-    def group_fn(carry, g):
-        if prefetch:
+    n_dev = 0 if gm.dev_store is None else gm.dev_store.shape[0]
+
+    def dev_fetch(g):
+        return jax.lax.dynamic_slice(gm.dev_store, (g, 0, 0), (1, G, bpm))[0]
+
+    def host_fetch(g):
+        return _stage(
+            jax.lax.dynamic_slice(gm.store, (g, 0, 0), (1, G, bpm))[0],
+            host_store,
+        )
+
+    def group_fn(carry, g, fetch=host_fetch, pre=prefetch):
+        if pre:
             alpha_b, delta_b, ycorr, rows = carry
             g_next = jnp.minimum(g + 1, ngroups - 1)
-            rows_next = _stage(
-                jax.lax.dynamic_slice(gm.store, (g_next, 0, 0), (1, G, bpm))[0],
-                host_store,
-            )
+            rows_next = fetch(g_next)
         else:
             alpha_b, delta_b, ycorr = carry
-            rows = _stage(
-                jax.lax.dynamic_slice(gm.store, (g, 0, 0), (1, G, bpm))[0],
-                host_store,
-            )
+            rows = fetch(g)
         mns = jax.lax.dynamic_slice(gm.means, (g * G,), (G,))
 
         grams_g = jax.lax.dynamic_slice(gm.grams, (0, 0, g * gb), (b, b, gb))
@@ -577,23 +679,26 @@ def sweep_blocks_bayesr_grouped(gm: GroupedPackedMarkers, alpha, delta,
             x, v, (0, g * gb)
         )
         out_carry = (put(alpha_b, a_g), put(delta_b, d_g), ycorr)
-        if prefetch:
+        if pre:
             out_carry = out_carry + (rows_next,)
         return out_carry, None
 
-    carry0 = (
+    carry = (
         mk._to_jmajor(alpha, nblocks, b),
         mk._to_jmajor(delta, nblocks, b),
         ycorr,
     )
-    if prefetch:
-        rows0 = _stage(
-            jax.lax.dynamic_slice(gm.store, (0, 0, 0), (1, G, bpm))[0],
-            host_store,
+    if n_dev:
+        carry, _ = jax.lax.scan(
+            lambda c, g: group_fn(c, g, fetch=dev_fetch, pre=False),
+            carry, jnp.arange(n_dev),
         )
-        carry0 = carry0 + (rows0,)
-    out_carry, _ = jax.lax.scan(group_fn, carry0, jnp.arange(ngroups))
-    alpha_b, delta_b, ycorr = out_carry[:3]
+    if n_dev < ngroups:
+        if prefetch:
+            carry = carry + (host_fetch(n_dev),)
+        carry, _ = jax.lax.scan(group_fn, carry,
+                                jnp.arange(n_dev, ngroups))
+    alpha_b, delta_b, ycorr = carry[:3]
     return (
         mk._from_jmajor(alpha_b),
         mk._from_jmajor(delta_b),
@@ -741,8 +846,14 @@ def build_grouped_markers(store, obs_ids, block_size: int, rinv=None,
     b = block_size
     nblocks_min = -(-p // b)
     # prefer 128 blocks/group (the Pallas lane quantum; <=1.6% padding at
-    # p >= 1M); small problems collapse to a single group
-    gb = group_blocks or (128 if nblocks_min >= 128 else nblocks_min)
+    # p >= 1M); small problems collapse to a single group. The default is
+    # additionally capped by the parallel-update stability bound (see
+    # STALE_FRACTION): callers wanting the kernel at small n should shrink
+    # b via pick_stable_blocks instead of widening the group.
+    cap_gb = max(1, int(STALE_FRACTION * len(obs_ids)) // b)
+    gb = group_blocks or max(
+        1, min(128 if nblocks_min >= 128 else nblocks_min, cap_gb)
+    )
     align = b * gb
     p_pad = -(-p // align) * align
     means_np = np.zeros(p_pad, dtype=np.float32)

@@ -467,6 +467,88 @@ def test_runmcmc_packed_bayesr_end_to_end():
         assert len(pi) == 4 and abs(pi["Estimate"].sum() - 1.0) < 0.05
 
 
+def test_hybrid_dev_store_matches_host_only():
+    """A GroupedPackedMarkers with the leading k groups duplicated on
+    'device' (hybrid out-of-core split) produces BIT-IDENTICAL sweeps: the
+    split only changes where bytes are fetched from."""
+    gm, pm, X, y, _ = _make_problem(n=48, p=128, b=8, gb=4, seed=6)  # 4 groups
+    st = _init(128, y)
+    key = jax.random.PRNGKey(2)
+    args = (st["alpha"], st["beta"], st["delta"], st["ycorr"], None,
+            st["vare"], st["var_eff"], st["pi"], key)
+    base = gr.sweep_blocks_abc_grouped(gm, *args, nreps=4, sync_every=2)
+    for k in (1, 2, 4):
+        gm_h = gm._replace(dev_store=jnp.asarray(np.asarray(gm.store[:k])))
+        out = gr.sweep_blocks_abc_grouped(gm_h, *args, nreps=4, sync_every=2)
+        for a, b_ in zip(base, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    # BayesR sweep through the same split
+    pi_r = jnp.broadcast_to(jnp.asarray([0.9, 0.05, 0.03, 0.02], jnp.float32),
+                            (128, 4))
+    argsr = (st["alpha"], jnp.zeros((128,), jnp.int32), st["ycorr"], None,
+             st["vare"], jnp.asarray(0.3, jnp.float32), pi_r, key)
+    base_r = gr.sweep_blocks_bayesr_grouped(gm, *argsr, nreps=3, sync_every=3)
+    gm_h = gm._replace(dev_store=jnp.asarray(np.asarray(gm.store[:2])))
+    out_r = gr.sweep_blocks_bayesr_grouped(gm_h, *argsr, nreps=3, sync_every=3)
+    for a, b_ in zip(base_r, out_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_plan_device_groups_budget():
+    assert gr.plan_device_groups(10, 100, 50, 0, budget=7 << 29) == 0
+    k = gr.plan_device_groups(128, 16384, 12544, 1 << 30,
+                              budget=16_000_000_000)
+    assert 0 < k < 128
+    assert k * 16384 * 12544 <= 16_000_000_000 - (1 << 30) - (7 << 29)
+
+
+def test_pick_stable_blocks_caps_stale_set():
+    """The parallel-stale set b*gb never exceeds STALE_FRACTION * n; the
+    kernel's 128-block lane quantum is kept by shrinking b when possible."""
+    for n, b_req, p in [(50_000, 224, 2_097_152), (25_000, 158, 1_048_576),
+                        (12_000, 112, 1_048_576), (2_000, 48, 100_000),
+                        (400, 24, 150), (300, 24, 5_000)]:
+        b, gb = gr.pick_stable_blocks(n, b_req, p)
+        cap = max(64, int(gr.STALE_FRACTION * n))
+        assert b * gb <= cap, (n, b_req, p, b, gb)
+        assert b >= 8 and b % 8 == 0
+        assert gb >= 1
+        if n >= 2_560 and -(-p // 8) >= 128:
+            assert gb == 128, (n, p, b, gb)   # kernel quantum preserved
+
+
+def test_runmcmc_device_packed_routes_grouped():
+    """Device-resident packed stores run the grouped schedule (bounded stale
+    set) — the flat sweep's all-of-p staleness is metastable at p >> n."""
+    from jwas_tpu import build_model, get_genotypes, runMCMC
+    from jwas_tpu.io.datasets import simulate_genomic_data
+    from jwas_tpu.io.packed import prepare_packed_genotypes
+    from jwas_tpu.engine import mcmc as eng
+
+    sim = simulate_genomic_data(n=300, p=120, n_qtl=10, h2=0.6, seed=17)
+    store = prepare_packed_genotypes(sim["genotypes"])
+    geno = get_genotypes(store, method="BayesC", name="geno")
+    model = build_model("y = intercept + geno", genotypes=geno)
+    seen = {}
+    orig = eng.make_run_window
+
+    def spy(cfg):
+        seen["grouped"] = cfg.grouped
+        seen["host_offload"] = cfg.host_offload
+        return orig(cfg)
+
+    eng.make_run_window = spy
+    try:
+        out = runMCMC(model, sim["phenotypes"], chain_length=400, burnin=100,
+                      seed=3, output_folder="", host_offload_genotypes=False)
+    finally:
+        eng.make_run_window = orig
+    assert seen["grouped"] is True
+    assert seen["host_offload"] is False     # device-resident store
+    acc = np.corrcoef(out["EBV_y"].EBV, sim["true_bv"])[0, 1]
+    assert acc > 0.8, acc
+
+
 def test_materialize_grouped_host_roundtrip():
     def gen(g):
         return jax.random.randint(
