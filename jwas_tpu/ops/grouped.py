@@ -165,7 +165,12 @@ def hybridize(gm: GroupedPackedMarkers,
               budget: Optional[int] = None) -> GroupedPackedMarkers:
     """Fill spare HBM with the leading groups of a host-resident grouped
     store (PCIe traffic then only covers the remainder). No-op when the
-    store is already device-resident or nothing fits."""
+    store is already device-resident or nothing fits.
+
+    The copy stages group by group INSIDE jit (dynamic_slice + device_put:
+    the same lowering as the sweeps' `_stage`) — general jnp ops on
+    pinned-host operands (e.g. `store[:k]`) are NOT reliably lowered on
+    TPU runtimes and must be avoided."""
     if gm.dev_store is not None:
         return gm
     if getattr(gm.store, "sharding", None) is None or (
@@ -176,7 +181,17 @@ def hybridize(gm: GroupedPackedMarkers,
     k = plan_device_groups(ngroups, G, bpm, gm.grams.size * 4, budget=budget)
     if k <= 0:
         return gm
-    dev = to_device_memory(gm.store[:k])
+    store = gm.store
+
+    def body(_, g):
+        rows = _stage(
+            jax.lax.dynamic_slice(store, (g, 0, 0), (1, G, bpm))[0], True
+        )
+        return None, rows
+
+    _, dev = jax.jit(
+        lambda: jax.lax.scan(body, None, jnp.arange(k))
+    )()
     return gm._replace(dev_store=dev)
 
 
