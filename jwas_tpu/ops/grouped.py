@@ -161,6 +161,28 @@ def to_device_memory(x):
     )
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _hybrid_copy(store, k: int):
+    """Stage the leading k groups of a grouped store into device HBM.
+
+    The store is a TRACED jit argument — exactly like `grouped_stats` —
+    never a closure: closing over a pinned-host array captures the FULL
+    store as a lowering constant (26 GB at the north-star shape), which
+    both defeats the out-of-core design and stalls compilation
+    (regression guarded by tests/test_grouped.py's lowering-constant
+    check, which traces this function on CPU)."""
+    _, G, bpm = store.shape
+
+    def body(_, g):
+        rows = _stage(
+            jax.lax.dynamic_slice(store, (g, 0, 0), (1, G, bpm))[0], True
+        )
+        return None, rows
+
+    _, dev = jax.lax.scan(body, None, jnp.arange(k))
+    return dev
+
+
 def hybridize(gm: GroupedPackedMarkers,
               budget: Optional[int] = None) -> GroupedPackedMarkers:
     """Fill spare HBM with the leading groups of a host-resident grouped
@@ -181,18 +203,7 @@ def hybridize(gm: GroupedPackedMarkers,
     k = plan_device_groups(ngroups, G, bpm, gm.grams.size * 4, budget=budget)
     if k <= 0:
         return gm
-    store = gm.store
-
-    def body(_, g):
-        rows = _stage(
-            jax.lax.dynamic_slice(store, (g, 0, 0), (1, G, bpm))[0], True
-        )
-        return None, rows
-
-    _, dev = jax.jit(
-        lambda: jax.lax.scan(body, None, jnp.arange(k))
-    )()
-    return gm._replace(dev_store=dev)
+    return gm._replace(dev_store=_hybrid_copy(gm.store, k=k))
 
 
 def pick_group_blocks(nblocks: int, prefer: int = 128, cap: int = 256) -> int:

@@ -560,3 +560,92 @@ def test_materialize_grouped_host_roundtrip():
     assert store.shape == (3, 16, 8)
     ref = np.stack([np.asarray(gen(g)) for g in range(3)])
     np.testing.assert_array_equal(np.asarray(store), ref)
+
+
+# ---------------------------------------------------------------------------
+# Lowering-constant guard: every jitted function that touches a grouped store
+# must take the store as a TRACED argument. Closing over a pinned-host store
+# captures it as a lowering constant (26 GB at the north-star shape) — the
+# exact bug class that broke hybridize/out-of-core runMCMC in round 4. This
+# runs on CPU (tracing does not need TPU memory spaces).
+# ---------------------------------------------------------------------------
+
+_CONST_LIMIT_BYTES = 1 << 20  # 1 MB
+
+
+def _closed_jaxpr_const_bytes(closed):
+    """Total bytes of materialized constants, recursing into sub-jaxprs
+    (pjit / scan / cond bodies carry their own ClosedJaxpr consts)."""
+    total = 0
+    seen = set()
+
+    def walk(cj):
+        if id(cj) in seen:
+            return
+        seen.add(id(cj))
+        for c in cj.consts:
+            total_nbytes = getattr(c, "nbytes", None)
+            if total_nbytes is None:
+                total_nbytes = np.asarray(c).nbytes
+            nonlocal total
+            total += int(total_nbytes)
+        for eqn in cj.jaxpr.eqns:
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr") and hasattr(v, "consts"):
+                    walk(v)
+                elif isinstance(v, (list, tuple)):
+                    for vv in v:
+                        if hasattr(vv, "jaxpr") and hasattr(vv, "consts"):
+                            walk(vv)
+
+    walk(closed)
+    return total
+
+
+def test_no_large_lowering_constants_in_grouped_store_fns():
+    gm, pm, X, y, _ = _make_problem(n=48, p=128, b=8, gb=4, seed=3)
+    st = _init(128, y)
+    key = jax.random.PRNGKey(0)
+    pi4 = jnp.broadcast_to(
+        jnp.asarray([0.9, 0.05, 0.03, 0.02], jnp.float32), (128, 4)
+    )
+    cases = [
+        ("_hybrid_copy",
+         lambda s: gr._hybrid_copy(s, k=2), (gm.store,)),
+        ("grouped_matvec",
+         lambda g, v: gr.grouped_matvec(g, v, n_obs=48), (gm, st["alpha"])),
+        ("grouped_rhs",
+         lambda g, w: gr.grouped_rhs(g, w), (gm, st["ycorr"])),
+        ("grouped_stats",
+         lambda s, m, v: gr.grouped_stats(s, m, v, None, None, b=8, n_obs=48),
+         (gm.store, gm.means, gm.valid)),
+        ("sweep_blocks_abc_grouped",
+         lambda g, a, b_, d, yc, va, ve, pi, k: gr.sweep_blocks_abc_grouped(
+             g, a, b_, d, yc, None, va, ve, pi, k, nreps=2),
+         (gm, st["alpha"], st["beta"], st["delta"], st["ycorr"],
+          st["vare"], st["var_eff"], st["pi"], key)),
+        ("sweep_blocks_bayesr_grouped",
+         lambda g, a, d, yc, va, s2, pi, k: gr.sweep_blocks_bayesr_grouped(
+             g, a, d, yc, None, va, s2, pi, k, nreps=2),
+         (gm, st["alpha"], jnp.zeros((128,), jnp.int32), st["ycorr"],
+          st["vare"], jnp.asarray(0.3, jnp.float32), pi4, key)),
+    ]
+    for name, fn, args in cases:
+        closed = jax.make_jaxpr(fn)(*args)
+        nbytes = _closed_jaxpr_const_bytes(closed)
+        assert nbytes < _CONST_LIMIT_BYTES, (
+            f"{name} captures {nbytes} bytes of lowering constants "
+            f"(limit {_CONST_LIMIT_BYTES}); pass arrays as jit arguments, "
+            f"never close over a (pinned-host) store"
+        )
+
+
+def test_hybridize_does_not_close_over_store():
+    """hybridize's copy routine takes the store as a traced jit argument —
+    its jaxpr must reference the store only through an input var (the
+    round-4 regression captured the full store as a 26 GB constant)."""
+    gm, *_ = _make_problem(n=48, p=128, b=8, gb=4, seed=4)
+    closed = jax.make_jaxpr(lambda s: gr._hybrid_copy(s, k=3))(gm.store)
+    assert _closed_jaxpr_const_bytes(closed) < _CONST_LIMIT_BYTES
+    dev = gr._hybrid_copy(gm.store, k=3)
+    np.testing.assert_array_equal(np.asarray(dev), np.asarray(gm.store[:3]))

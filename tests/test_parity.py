@@ -76,11 +76,18 @@ def test_parity_dataset_semantics():
     np.testing.assert_array_equal(ds.y, ds2.y)
 
 
-def _check_report(report, *, sigma_rtol, pi_atol=None):
+def _check_report(report, *, sigma_rtol, pi_atol=None, mnf_atol=0.02):
+    """Tolerances are 99% Monte-Carlo bounds for the difference of two exact
+    independent chains at L=8000/burnin=2000, measured across 24 seeds with
+    the independent NumPy sampler (benchmarks/parity_mc_error.py; results
+    table in its docstring). A tolerance below the MC bound fails on noise,
+    not bias — e.g. mean_nonzero_frequency under estimate_pi has per-chain
+    sd 0.0147, so two exact chains differ by >0.02 ~34% of the time; its
+    99% bound is 0.054."""
     sc = report["scalar_report"].set_index("metric")
     assert sc.loc["sigmaSq", "rel_diff"] < sigma_rtol
     assert sc.loc["residual_variance", "rel_diff"] < 0.05
-    assert sc.loc["mean_nonzero_frequency", "abs_diff"] < 0.02
+    assert sc.loc["mean_nonzero_frequency", "abs_diff"] < mnf_atol
     assert report["marker_correlation"] > 0.95
     assert report["marker_report"]["abs_diff"].max() < 0.05
     assert report["marker_report"]["model_frequency_abs_diff"].max() < 0.05
@@ -89,15 +96,19 @@ def _check_report(report, *, sigma_rtol, pi_atol=None):
 
 
 def test_posterior_parity_bayesr_fixed_pi(tmp_path):
+    # fixed_pi MC bounds: mnf 0.0028, sigmaSq rel 0.092 (parity_mc_error.py)
     report = run_parity(str(tmp_path / "fixed"), mode="fixed_pi",
                         chain_length=8000, burnin=2000)
     _check_report(report, sigma_rtol=0.10)
 
 
 def test_posterior_parity_bayesr_estimate_pi(tmp_path):
+    # estimate_pi MC bounds: mnf 0.054, sigmaSq rel 0.105 (parity_mc_error.py;
+    # engine multi-seed mean matches the NumPy multi-seed mean, so the
+    # round-4 red 0.0213 diff was MC noise, not sampler bias)
     report = run_parity(str(tmp_path / "est"), mode="estimate_pi",
                         chain_length=8000, burnin=2000)
-    _check_report(report, sigma_rtol=0.25, pi_atol=0.03)
+    _check_report(report, sigma_rtol=0.25, pi_atol=0.03, mnf_atol=0.055)
 
 
 def test_posterior_parity_bayesc(tmp_path):
