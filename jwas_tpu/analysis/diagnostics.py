@@ -59,9 +59,12 @@ def PSRF(*chains, header: bool = True) -> float:
     return V / W
 
 
-# sample-file kinds the writer emits WITHOUT a header row (samples_io.py)
+# sample-file kinds the writer emits WITHOUT a header row (samples_io.py).
+# NOTE: marker_effects_variances_ is NOT here — ST/MT streams write it
+# headerless but the RRM stream registers it WITH a coeff-pair header
+# (samples_io.py:292), so that kind must be sniffed.
 _HEADERLESS_KINDS = (
-    "marker_effects_variances_", "pi_", "liabilities_", "threshold_",
+    "pi_", "liabilities_", "threshold_",
 )
 
 
@@ -78,12 +81,14 @@ def _read_sample_file(path: str, header=None):
     if header is None:
         base = os.path.basename(path)
         stem = base[13:] if base.startswith("MCMC_samples_") else base
-        if any(stem.startswith(k) for k in _HEADERLESS_KINDS):
+        if stem.startswith("marker_effects_variances_"):
+            header = None        # ST/MT headerless, RRM headered: sniff below
+        elif any(stem.startswith(k) for k in _HEADERLESS_KINDS):
             header = False
         elif stem.startswith(("marker_effects_", "EBV_")):
             header = True        # always written with an ID header row
-        else:
-            # unknown origin: sniff, but via a closed handle
+        if header is None:
+            # mixed-convention kind or unknown origin: sniff (closed handle)
             with open(path) as fh:
                 first = fh.readline().strip()
             header = False

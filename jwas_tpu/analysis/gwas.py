@@ -23,10 +23,15 @@ import pandas as pd
 
 
 class _DenseX:
-    """Uniform column access over a dense (n, p) genotype matrix."""
+    """Uniform column access over a dense (n, p) genotype matrix.
+
+    Columns are mean-centered to match the packed backend (store.decode
+    centers), so local-EBV window columns and BV levels are backend-
+    invariant; window variance proportions were already invariant."""
 
     def __init__(self, X):
-        self.X = jnp.asarray(np.asarray(X), jnp.float32)
+        X = jnp.asarray(np.asarray(X), jnp.float32)
+        self.X = X - jnp.mean(X, axis=0, keepdims=True)
         self.shape = (int(self.X.shape[0]), int(self.X.shape[1]))
 
     def cols(self, idx) -> jnp.ndarray:

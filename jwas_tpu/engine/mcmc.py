@@ -75,6 +75,12 @@ class STData(NamedTuple):
     packed_dev: Optional[jnp.ndarray] = None    # hybrid out-of-core: device-resident
                                                 # copy of the leading store groups
                                                 # (grouped.hybridize)
+    sl: Optional[object] = None                 # sparse_mme.SparseLoc: matrix-free
+                                                # location design (sparse_loc mode;
+                                                # W/WtRinvW/out_W are then empty)
+    out_w_rows: Optional[jnp.ndarray] = None    # sparse prediction incidence COO
+    out_w_cols: Optional[jnp.ndarray] = None
+    out_w_vals: Optional[jnp.ndarray] = None
 
 
 def assemble_lhs_lambda(re_groups, WtRinvW, Vinv, vc, vare):
@@ -151,12 +157,32 @@ def make_st_step(cfg: EngineCfg):
                 )
 
         # 1. location parameters (MCMC_BayesianAlphabet.jl:196-220)
-        LHS = _assemble_lhs(cfg, data, state.vc, state.vare)
-        ycorr = ycorr0 + data.W @ state.sol
-        w = ycorr if rinv is None else rinv * ycorr
-        rhs = data.W.T @ w
-        sol = gibbs_pass_lambda(LHS, state.sol, rhs, state.vare, k_loc)
-        ycorr = ycorr - data.W @ sol
+        if cfg.sparse_loc:
+            # matrix-free sparse MME: exact joint PO-CG draw instead of the
+            # dense single-site pass (ops/sparse_mme.py; the reference's
+            # sparse-LHS Gibbs, solver.jl:105-162, re-designed for TPU)
+            from jwas_tpu.ops import sparse_mme as sm
+
+            sl = data.sl
+            ycorr = ycorr0 + sm.w_matvec(sl, state.sol, cfg.n_obs)
+            w = ycorr if rinv is None else rinv * ycorr
+            rhs = sm.w_rhs(sl, w, cfg.n_loc)
+            gis = [jnp.linalg.inv(state.vc[g])
+                   for g in range(len(cfg.re_groups))]
+            chols = [jnp.linalg.cholesky(gi) for gi in gis]
+            sol = sm.sample_location_po(
+                k_loc, sl, cfg.re_groups, rhs, gis, state.vare, rinv,
+                cfg.n_obs, chols, x0=state.sol, tol=cfg.cg_tol,
+                maxiter=cfg.cg_maxiter,
+            )
+            ycorr = ycorr - sm.w_matvec(sl, sol, cfg.n_obs)
+        else:
+            LHS = _assemble_lhs(cfg, data, state.vc, state.vare)
+            ycorr = ycorr0 + data.W @ state.sol
+            w = ycorr if rinv is None else rinv * ycorr
+            rhs = data.W.T @ w
+            sol = gibbs_pass_lambda(LHS, state.sol, rhs, state.vare, k_loc)
+            ycorr = ycorr - data.W @ sol
 
         # 2. marker effects (method dispatch, MCMC_BayesianAlphabet.jl:224-338)
         alpha, beta, delta, gamma_l, pi, varg = (
@@ -382,7 +408,14 @@ def make_st_step(cfg: EngineCfg):
         for g, grp in enumerate(cfg.re_groups):
             q = grp.n_levels
             sols = jnp.stack([jax.lax.dynamic_slice(sol, (s,), (q,)) for s in grp.starts])
-            if grp.has_vinv:
+            if grp.has_vinv and cfg.sparse_loc:
+                from jwas_tpu.ops.sparse_mme import _vinv_matvec
+
+                slg = data.sl.groups[g]
+                Vs = jnp.stack([_vinv_matvec(slg, sols[i], False)
+                                for i in range(len(grp.starts))])
+                S = sols @ Vs.T
+            elif grp.has_vinv:
                 S = sols @ (data.Vinv[g] @ sols.T)
             else:
                 S = sols @ sols.T
@@ -477,7 +510,13 @@ def make_run_window(cfg):
 
         # EBV for output individuals: prediction terms + markers
         # (getEBV, output.jl:281-306)
-        ebv = data.out_W @ state.sol
+        if cfg.sparse_loc and data.out_w_rows is not None:
+            ebv = jnp.zeros((data.out_W.shape[0],), state.sol.dtype)
+            ebv = ebv.at[data.out_w_rows].add(
+                data.out_w_vals * state.sol[data.out_w_cols]
+            )
+        else:
+            ebv = data.out_W @ state.sol
         if cfg.method != "none" and data.out_geno.shape[0] > 0:
             ebv = ebv + data.out_geno @ state.alpha[: data.out_geno.shape[1]]
         genvar = jnp.var(ebv) if ebv.shape[0] > 1 else jnp.zeros((), ebv.dtype)
@@ -776,11 +815,18 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         p = p_pad = 0
         nreps = 1
 
+    sparse_mode = ws.W_sparse is not None
     re_cfgs = []
     Vinvs = []
     vc_scales = []
     vc0 = []
     for grp in ws.re_groups:
+        factor_rows = 0
+        if sparse_mode and grp.Vinv is not None:
+            factor_rows = (
+                grp.Vinv_factor.shape[0] if grp.Vinv_factor is not None
+                else grp.n_levels
+            )
         re_cfgs.append(
             REGroupCfg(
                 starts=grp.starts,
@@ -788,21 +834,52 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
                 df=grp.df,
                 has_vinv=grp.Vinv is not None,
                 random_type=grp.random_type,
+                factor_rows=factor_rows,
             )
         )
         Vinvs.append(
-            jnp.asarray(grp.Vinv, dtype) if grp.Vinv is not None else jnp.zeros((0, 0), dtype)
+            jnp.asarray(grp.Vinv, dtype)
+            if grp.Vinv is not None and not sparse_mode
+            else jnp.zeros((0, 0), dtype)
         )
         vc_scales.append(jnp.asarray(grp.scale, dtype))
         vc0.append(jnp.asarray(grp.G0, dtype))
 
+    sl = None
+    if sparse_mode:
+        from jwas_tpu.ops.sparse_mme import build_sparse_loc
+
+        sl = build_sparse_loc(ws.W_sparse, ws.rinv, ws.re_groups, re_cfgs,
+                              dtype=dtype)
+
     # output structures
     n_out = len(ws.output_ids)
-    K = W.shape[1]
-    out_W = np.zeros((n_out, K))
-    for term_name in ws.prediction_terms:
-        term = model.term_dict[term_name]
-        out_W[:, term.start_pos : term.start_pos + term.n_levels] += ws.output_X[term_name]
+    K = ws.W_sparse.shape[1] if sparse_mode else W.shape[1]
+    out_w_rows = out_w_cols = out_w_vals = None
+    if sparse_mode:
+        import scipy.sparse as _sp
+
+        out_W = np.zeros((n_out, 0))
+        blocks = []
+        for term_name in ws.prediction_terms:
+            term = model.term_dict[term_name]
+            Xt = _sp.coo_matrix(ws.output_X[term_name])
+            blocks.append((Xt.row, Xt.col + term.start_pos, Xt.data))
+        if blocks:
+            rr = np.concatenate([b[0] for b in blocks])
+            cc = np.concatenate([b[1] for b in blocks])
+            vv = np.concatenate([b[2] for b in blocks])
+        else:
+            rr = cc = np.zeros((0,), np.int64)
+            vv = np.zeros((0,))
+        out_w_rows = jnp.asarray(rr.astype(np.int32))
+        out_w_cols = jnp.asarray(cc.astype(np.int32))
+        out_w_vals = jnp.asarray(vv, dtype)
+    else:
+        out_W = np.zeros((n_out, K))
+        for term_name in ws.prediction_terms:
+            term = model.term_dict[term_name]
+            out_W[:, term.start_pos : term.start_pos + term.n_levels] += ws.output_X[term_name]
     out_geno = (
         jnp.asarray(ws.output_genotypes, dtype)
         if ws.output_genotypes is not None
@@ -812,7 +889,10 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     data_fields = dict(
         W=W, WtRinvW=WtRinvW, rinv=rinv, y=y, X=X, xpx=xpx, grams=grams,
         valid=valid, Vinv=tuple(Vinvs), vc_scale=tuple(vc_scales),
-        out_geno=out_geno, out_W=jnp.asarray(out_W, dtype),
+        out_geno=out_geno, out_W=(
+            jnp.zeros((n_out, 0), dtype) if sparse_mode
+            else jnp.asarray(out_W, dtype)
+        ),
     )
 
     g = ws.geno
@@ -920,6 +1000,8 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         host_offload=host_offload,
         grouped=grouped,
         has_missing_codes=has_missing_codes if grouped else True,
+        sparse_loc=sparse_mode,
+        cg_maxiter=int(getattr(opts, "cg_maxiter", 200)),
         # out-of-core runs overlap each group's PCIe stage with the previous
         # group's compute (one extra resident tile; ~25% wall-clock at the
         # north-star shape)
@@ -938,6 +1020,8 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         row_perm=packed_pm.row_perm if packed_pm is not None else None,
         scale_r=jnp.asarray(float(ws.scale_R), dtype),
         packed_dev=packed_pm.dev_store if grouped else None,
+        sl=sl, out_w_rows=out_w_rows, out_w_cols=out_w_cols,
+        out_w_vals=out_w_vals,
     )
 
     # --- initial state ---
@@ -976,7 +1060,12 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         marker_scale0 = None if ws.marker_scale0 is None else ws.marker_scale0
 
     y_base = liab0 if liab0 is not None else y
-    ycorr = y_base - W @ sol
+    if sparse_mode:
+        from jwas_tpu.ops.sparse_mme import w_matvec as _w_matvec
+
+        ycorr = y_base - _w_matvec(sl, sol, n)
+    else:
+        ycorr = y_base - W @ sol
     if packed_pm is not None and grouped:
         from jwas_tpu.ops.grouped import grouped_matvec
 

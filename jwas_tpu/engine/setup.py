@@ -92,6 +92,14 @@ class MCMCOptions:
                                         # "y:ID + y:litter" (prediction_setup,
                                         # output.jl:29-59); False = pedigree
                                         # terms + genotypes (default)
+    sparse_location: object = None      # matrix-free sparse location-MME
+                                        # (ops/sparse_mme.py): None = auto
+                                        # (single-trait and K > 20_000),
+                                        # True/False to force. Replaces the
+                                        # dense (K, K) LHS + single-site pass
+                                        # with a joint PO-CG draw — required
+                                        # for SSBR at >=1e5 pedigree animals
+    cg_maxiter: int = 200               # CG iteration cap for sparse draws
 
 
 def resolve_sync_every(opts: "MCMCOptions", nreps: int) -> int:
@@ -109,13 +117,17 @@ def resolve_sync_every(opts: "MCMCOptions", nreps: int) -> int:
 class REGroupData:
     starts: Tuple[int, ...]
     n_levels: int
-    Vinv: Optional[np.ndarray]          # dense (q, q) or None (identity)
+    Vinv: Optional[np.ndarray]          # dense (q, q), scipy sparse (sparse
+                                        # location mode), or None (identity)
     G0: np.ndarray                      # (k, k) starting covariance
     df: float
     scale: np.ndarray                   # (k, k)
     term_array: List[str]
     random_type: str
     estimate_variance: bool = True
+    Vinv_factor: object = None          # sparse F with Vinv = F'F (pedigree
+                                        # hAi / its column slice for SSBR's
+                                        # A_nn) — enables the exact PO draw
 
 
 @dataclass
@@ -144,6 +156,8 @@ class Workspace:
     gblup_L: Optional[np.ndarray] = None
     gblup_D: Optional[np.ndarray] = None
     obs_ids: List[str] = field(default_factory=list)
+    W_sparse: object = None             # scipy CSR location design (sparse
+                                        # location mode; W is then (n, 0))
 
 
 def _default_priors(model: Model, df: pd.DataFrame) -> np.ndarray:
@@ -428,7 +442,27 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
     X_whole = build_design(model, df_whole)
     n_whole = len(df_whole)
     row_sel = np.concatenate([m * n_whole + train_rows for m in range(t)])
-    W = np.asarray(X_whole[row_sel, :].todense())
+    K_loc = X_whole.shape[1]
+    use_sparse_loc = bool(
+        opts.sparse_location is True
+        or (opts.sparse_location is None and t == 1 and K_loc > 20_000
+            and opts.RRM is None and opts.causal_structure is None)
+    )
+    if use_sparse_loc and t != 1:
+        raise ValueError(
+            "sparse_location=True supports single-trait models only; "
+            "multi-trait MMEs use the dense location path"
+        )
+    if use_sparse_loc:
+        # matrix-free location path (ops/sparse_mme.py): never densify the
+        # (n, K) design — at K ~ 5e5 (single-step with a large pedigree) the
+        # dense W and (K, K) LHS are the scaling wall the reference avoids
+        # with its SparseArrays MME (build_MME.jl:300-382)
+        W_sparse = X_whole[row_sel, :].tocsr()
+        W = np.zeros((len(row_sel), 0))
+    else:
+        W_sparse = None
+        W = np.asarray(X_whole[row_sel, :].todense())
 
     df_train = df_whole.iloc[train_rows].reset_index(drop=True)
     obs_ids = [str(x) for x in df_train[id_col]]
@@ -462,7 +496,12 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
     for term_name in prediction_terms:
         term = model.term_dict[term_name]
         rows = [term.i_model * n_whole + id_rows[s] for s in output_ids]
-        output_X[term_name] = np.asarray(term.X[rows, :].todense())
+        # sparse location mode keeps per-term prediction incidences sparse
+        # (a dense (n_out, q) slab defeats the point at q ~ 1e5 levels)
+        Xt = term.X[rows, :]
+        output_X[term_name] = Xt.tocsr() if use_sparse_loc else np.asarray(
+            Xt.todense()
+        )
     # restrict each term's X to training rows for the MME
     for term in model.terms:
         term.X = term.X[row_sel, :]
@@ -534,7 +573,11 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
                 raise ValueError("terms in one random-effect group must share levels")
         Vinv = None
         if re.Vinv is not None:
-            Vinv = np.asarray(re.Vinv.todense())
+            # sparse location mode keeps Vinv sparse (SSBR's A_nn epsilon
+            # term is O(q) nnz at q ~ 1e5+; densifying is the old cap)
+            Vinv = re.Vinv.tocsr() if use_sparse_loc else np.asarray(
+                re.Vinv.todense()
+            )
         G0 = np.asarray(re.G.val, dtype=np.float64)
         re_groups.append(
             REGroupData(
@@ -547,6 +590,7 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
                 term_array=list(re.term_array),
                 random_type=re.random_type,
                 estimate_variance=re.G.estimate_variance,
+                Vinv_factor=getattr(re, "Vinv_factor", None),
             )
         )
 
@@ -586,7 +630,7 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
             n_traits=t,
             block_size=bs,
             n_out=len(output_ids),
-            n_loc=W.shape[1],
+            n_loc=K_loc,
             packed=geno.packed_store is not None,
         )
         check_marker_memory_guard(
@@ -599,6 +643,7 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
         n_obs=n_obs,
         n_traits=t,
         W=W,
+        W_sparse=W_sparse,
         y=y,
         y_mask=y_mask,
         rinv=rinv,

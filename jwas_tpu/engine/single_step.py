@@ -59,7 +59,8 @@ def _partitioned_a_inverse(model: Model):
     ped.set_nongenotyped = set(nongeno_ids)
     ped.set_genotyped = set(geno_ids)
 
-    Ai = ped.a_inverse()
+    hAi = ped.a_inverse_factor()
+    Ai = (hAi.T @ hAi).tocsc()
     perm = np.array(
         [ped.id_index[s] for s in nongeno_ids + geno_ids], dtype=np.int64
     )
@@ -67,7 +68,11 @@ def _partitioned_a_inverse(model: Model):
     nn = len(nongeno_ids)
     Ai_nn = Ai_perm[:nn, :nn].tocsc()
     Ai_ng = Ai_perm[:nn, nn:].tocsc()
-    return Ai_nn, Ai_ng, nongeno_ids, geno_ids
+    # factor of A_nn for the sparse PO sampler: A^-1 = U'U implies
+    # (A^-1)[nn, nn] = U[:, nn]' U[:, nn], so the column slice of hAi IS a
+    # factor of the eps precision (ops/sparse_mme.py module docs)
+    F_nn = hAi[:, perm[:nn]].tocsc()
+    return Ai_nn, Ai_ng, nongeno_ids, geno_ids, F_nn
 
 
 def _impute_genotypes(geno, lu, Ai_ng, geno_ids):
@@ -260,7 +265,7 @@ def ssbr_setup(model: Model, df_whole: pd.DataFrame, opts) -> None:
             f"pedigree (e.g. {not_in_ped[:5]})"
         )
 
-    Ai_nn, Ai_ng, nongeno_ids, geno_ids = _partitioned_a_inverse(model)
+    Ai_nn, Ai_ng, nongeno_ids, geno_ids, F_nn = _partitioned_a_inverse(model)
     lu = splu(Ai_nn.tocsc())
     ped_order = nongeno_ids + geno_ids
     row_of = {s: i for i, s in enumerate(ped_order)}
@@ -297,6 +302,7 @@ def ssbr_setup(model: Model, df_whole: pd.DataFrame, opts) -> None:
         float(g_total) if g_total.ndim == 0 else g_total,
         Vinv=Ai_nn,
         names=nongeno_ids,
+        Vinv_factor=F_nn,
     )
 
     # EBV prediction equation gains J*sol_J + eps (SSBR.jl:41-53).

@@ -67,6 +67,9 @@ class REGroupCfg:
     df: float
     has_vinv: bool             # False => identity structure
     random_type: str           # "A" | "V" | "I"
+    factor_rows: int = 0       # rows m of the sparse factor F (Vinv = F'F)
+                               # — static shape for the PO sampler's z draws
+                               # (ops/sparse_mme.py); 0 when dense/identity
 
 
 @dataclass(frozen=True)
@@ -111,3 +114,10 @@ class EngineCfg:
     prefetch: bool = False    # grouped sweeps: software-pipeline the H2D
                               # stage of group g+1 under group g's compute
                               # (costs one extra resident group tile)
+    sparse_loc: bool = False  # matrix-free sparse location-MME: joint
+                              # perturbation-optimization CG draw instead of
+                              # the dense single-site pass (ops/sparse_mme.py;
+                              # the reference's sparse-LHS Gibbs analogue,
+                              # solver.jl:105-162)
+    cg_maxiter: int = 200     # CG iteration cap for the sparse location draw
+    cg_tol: float = 1e-8      # CG convergence tolerance

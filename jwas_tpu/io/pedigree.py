@@ -67,6 +67,18 @@ class Pedigree:
         where d = sqrt(4 / (2 - F_s - F_d)) (both parents), and the analogous
         one-parent / no-parent forms, then returns hAi' hAi.
         """
+        hAi = self.a_inverse_factor()
+        return (hAi.T @ hAi).tocsc()
+
+    def a_inverse_factor(self) -> sp.csc_matrix:
+        """The Henderson factor hAi with A^-1 = hAi' hAi (PedModule.jl:174-219).
+
+        Exposed separately because the sparse location-MME sampler
+        (ops/sparse_mme.py) needs a factor F of every random-effect
+        precision (Vinv = F'F) for exact perturbation-optimization draws;
+        for single-step's A_nn epsilon term the factor is the column slice
+        hAi[:, nongenotyped] since (U'U)[nn] = U[:, nn]' U[:, nn].
+        """
         n = self.n
         rows: List[int] = []
         cols: List[int] = []
@@ -93,8 +105,7 @@ class Pedigree:
                 rows.append(i)
                 cols.append(i)
                 vals.append(1.0)
-        hAi = sp.csc_matrix((vals, (rows, cols)), shape=(n, n))
-        return (hAi.T @ hAi).tocsc()
+        return sp.csc_matrix((vals, (rows, cols)), shape=(n, n))
 
     def a_matrix(self) -> np.ndarray:
         """Dense numerator relationship matrix A (tabular method).
@@ -143,12 +154,69 @@ def _topological_codes(
     return codes
 
 
+_PED_LIB = None
+_PED_LIB_TRIED = False
+
+
+def _native_ped_lib():
+    """Build (once, cached) and load the C++ pedigree kernel via ctypes
+    (native/pedigree.cpp; same loader pattern as io/packed.py)."""
+    global _PED_LIB, _PED_LIB_TRIED
+    if _PED_LIB is not None or _PED_LIB_TRIED:
+        return _PED_LIB
+    _PED_LIB_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+    import tempfile
+
+    src = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "pedigree.cpp"
+    ))
+    if not os.path.exists(src):
+        return None
+    cache = os.path.join(tempfile.gettempdir(), "jwas_tpu_native")
+    os.makedirs(cache, exist_ok=True)
+    lib_path = os.path.join(cache, "libjwasped.so")
+    if (not os.path.exists(lib_path)
+            or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+        cmd = ["g++", "-O3", "-shared", "-fPIC", src, "-o", lib_path + ".tmp"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(lib_path + ".tmp", lib_path)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    lib.jwas_inbreeding_ml.argtypes = [i64p, i64p, ctypes.c_int64, f64p]
+    _PED_LIB = lib
+    return _PED_LIB
+
+
 def _inbreeding_meuwissen_luo(sire: np.ndarray, dam: np.ndarray) -> np.ndarray:
     """Inbreeding coefficients for a topologically coded pedigree.
 
     Meuwissen & Luo (1992). Equivalent to the reference's memoised recursive
-    `calcInbreeding!`/`calcAddRel!` (PedModule.jl:117-165).
-    """
+    `calcInbreeding!`/`calcAddRel!` (PedModule.jl:117-165). Dispatches to
+    the C++ kernel (native/pedigree.cpp) when available — the per-animal
+    ancestor walk is a scalar pointer chase, ~30x faster native, which is
+    what makes 1e5+-animal single-step pedigrees practical to load."""
+    lib = _native_ped_lib()
+    if lib is not None:
+        F = np.zeros(len(sire), dtype=np.float64)
+        lib.jwas_inbreeding_ml(np.ascontiguousarray(sire, dtype=np.int64),
+                               np.ascontiguousarray(dam, dtype=np.int64),
+                               len(sire), F)
+        return F
+    return _inbreeding_meuwissen_luo_py(sire, dam)
+
+
+def _inbreeding_meuwissen_luo_py(sire: np.ndarray, dam: np.ndarray) -> np.ndarray:
+    """Pure-Python fallback (and the native kernel's test oracle)."""
     n = len(sire)
     F = np.zeros(n)
     # D[j] = 0.5 - 0.25 (F_s + F_d), with F = -1 for an unknown parent.
@@ -211,10 +279,13 @@ def get_pedigree(
         x = str(x).strip()
         return MISSING if x in missing_set else x
 
+    cols = [df.iloc[:, k].astype(str).str.strip() for k in range(3)]
+    for c in cols:
+        c[c.isin(missing_set)] = MISSING
     parents: Dict[str, tuple] = {}
     order_hint: List[str] = []
-    for _, row in df.iterrows():
-        ind, s, d = norm(row.iloc[0]), norm(row.iloc[1]), norm(row.iloc[2])
+    for ind, s, d in zip(cols[0].tolist(), cols[1].tolist(),
+                         cols[2].tolist()):
         if ind == MISSING:
             continue
         for p in (s, d):

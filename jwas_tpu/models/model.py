@@ -58,6 +58,8 @@ class RandomEffect:
     Vinv: Optional[sp.spmatrix]     # None => identity
     names: List[str]                # level names (row order of Vinv)
     random_type: str                # "A" | "V" | "I"
+    Vinv_factor: Optional[sp.spmatrix] = None  # F with Vinv = F'F (pedigree
+                                    # hAi); enables exact sparse PO draws
 
 
 @dataclass
@@ -234,6 +236,7 @@ def set_random(
     *,
     Vinv=None,
     names: Sequence[str] = (),
+    Vinv_factor=None,
     df: float = 4.0,
     estimate_variance: bool = True,
     estimate_scale: bool = False,
@@ -289,7 +292,9 @@ def set_random(
         for t in model_terms:
             t.random_type = "A"
             t.names = list(ped.ids)
-        Vinv_mat = ped.a_inverse()
+        hAi = ped.a_inverse_factor()
+        Vinv_mat = (hAi.T @ hAi).tocsc()
+        Vinv_factor = hAi
         random_type = "A"
         level_names = list(ped.ids)
         model.ped_term_vec = list(term_array)
@@ -338,6 +343,7 @@ def set_random(
             Vinv=Vinv_mat,
             names=level_names,
             random_type=random_type,
+            Vinv_factor=Vinv_factor,
         )
     )
 

@@ -109,25 +109,49 @@ def to_host_memory(x):
 STALE_FRACTION = 0.4
 
 
-def pick_stable_blocks(n_obs: int, block_size: int, p: int):
+def pick_stable_blocks(n_obs: int, block_size: int, p: int,
+                       warn: bool = True):
     """Choose (block_size, group_blocks) with b * gb <= STALE_FRACTION * n.
 
     Prefers gb = 128 (the kernel lane quantum), shrinking b in multiples of
     8 to honor the cap; for small n (or small p) falls back to smaller
-    groups (the sweep then uses the XLA inner rounds)."""
-    cap = max(64, int(STALE_FRACTION * n_obs))
+    groups (the sweep then uses the XLA inner rounds). The cap is NOT
+    floored at 64: for n < 160 a 64-marker stale set already reaches the
+    measured q ~ 0.66 divergence threshold (SCALING.md), so tiny problems
+    degrade to b=8, gb=1 instead.
+
+    When the stability cap forces a block size different from the user's
+    request a warning is emitted — the reference honors the requested
+    fast_blocks size verbatim (JWAS.jl:293-316), so a silent change would
+    alter chain-length accounting semantics underfoot."""
+    req = max(8, (int(block_size) // 8) * 8)
+    cap = min(max(8, int(STALE_FRACTION * n_obs)), max(p, 8))
     b = max(8, (min(int(block_size), max(cap, 8)) // 8) * 8)
+    out = None
     if -(-p // b) >= 128:
         if b * 128 > cap:
             b = (cap // 128) // 8 * 8
         if b >= 8 and -(-p // b) >= 128:
-            return b, 128
-        b = 8
-    gb = min(-(-p // b), max(1, cap // b))
-    while b > 8 and b * gb > cap:
-        b = max(8, b - 8)
+            out = (b, 128)
+        else:
+            b = 8
+    if out is None:
         gb = min(-(-p // b), max(1, cap // b))
-    return b, gb
+        while b > 8 and b * gb > cap:
+            b = max(8, b - 8)
+            gb = min(-(-p // b), max(1, cap // b))
+        out = (b, gb)
+    if warn and out[0] != req:
+        import warnings
+
+        warnings.warn(
+            f"fast_blocks size {block_size} exceeds the parallel-update "
+            f"stability cap (b*group_blocks <= {STALE_FRACTION}*n = "
+            f"{STALE_FRACTION * n_obs:.0f}; see SCALING.md): using "
+            f"block_size={out[0]}, group_blocks={out[1]}. Effective inner "
+            f"sweeps per outer iteration follow the adjusted size."
+        )
+    return out
 
 
 def plan_device_groups(ngroups: int, G: int, bpm: int, grams_bytes: int,

@@ -143,3 +143,24 @@ def test_lsmeans_and_getEBV(tmp_path):
     pd.testing.assert_frame_equal(ebv2, out["EBV_y"])
     with pytest.raises(KeyError):
         getEBV(out, "nope")
+
+
+def test_read_sample_file_marker_variances_both_conventions(tmp_path):
+    """marker_effects_variances_ files are headerless for ST/MT but carry a
+    coeff-pair header for RRM (samples_io.py:292) — the reader must sniff
+    this kind instead of assuming either convention (advisor regression)."""
+    from jwas_tpu.analysis.diagnostics import _read_sample_file
+
+    st = tmp_path / "MCMC_samples_marker_effects_variances_geno.txt"
+    st.write_text("0.5\n0.6\n0.7\n")
+    labels, arr = _read_sample_file(str(st))
+    assert arr.shape == (3, 1)
+    assert arr[0, 0] == 0.5            # first line is DATA, not a header
+
+    rrm = tmp_path / "MCMC_samples_marker_effects_variances_geno2.txt"
+    rrm.write_text(
+        "coeff1_coeff1,coeff1_coeff2,coeff2_coeff2\n0.1,0.0,0.2\n0.3,0.1,0.4\n"
+    )
+    labels, arr = _read_sample_file(str(rrm))
+    assert labels == ["coeff1_coeff1", "coeff1_coeff2", "coeff2_coeff2"]
+    assert arr.shape == (2, 3)         # header consumed as labels

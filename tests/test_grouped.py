@@ -8,6 +8,8 @@ exact-bf16) vs the dense GibbsMats, and end-to-end accuracy with multiple
 sequential groups.
 """
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -508,8 +510,10 @@ def test_pick_stable_blocks_caps_stale_set():
     for n, b_req, p in [(50_000, 224, 2_097_152), (25_000, 158, 1_048_576),
                         (12_000, 112, 1_048_576), (2_000, 48, 100_000),
                         (400, 24, 150), (300, 24, 5_000)]:
-        b, gb = gr.pick_stable_blocks(n, b_req, p)
-        cap = max(64, int(gr.STALE_FRACTION * n))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            b, gb = gr.pick_stable_blocks(n, b_req, p)
+        cap = min(max(8, int(gr.STALE_FRACTION * n)), max(p, 8))
         assert b * gb <= cap, (n, b_req, p, b, gb)
         assert b >= 8 and b % 8 == 0
         assert gb >= 1
@@ -649,3 +653,23 @@ def test_hybridize_does_not_close_over_store():
     assert _closed_jaxpr_const_bytes(closed) < _CONST_LIMIT_BYTES
     dev = gr._hybrid_copy(gm.store, k=3)
     np.testing.assert_array_equal(np.asarray(dev), np.asarray(gm.store[:3]))
+
+
+def test_pick_stable_blocks_tiny_n_stays_under_cap():
+    """For n < 160 the cap is NOT floored at 64 (a 64-marker stale set at
+    n=100 is q=0.64, at the measured divergence threshold — advisor
+    regression): tiny problems degrade to q <= 0.4 via b=8, gb=1."""
+    for n in (20, 50, 100, 150):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            b, gb = gr.pick_stable_blocks(n, 64, 5_000)
+        assert b * gb <= max(8, int(gr.STALE_FRACTION * n)), (n, b, gb)
+
+
+def test_pick_stable_blocks_warns_on_override():
+    with pytest.warns(UserWarning, match="stability cap"):
+        gr.pick_stable_blocks(100, 224, 2_097_152)
+    # honored request: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        gr.pick_stable_blocks(50_000, 128, 2_097_152)

@@ -146,3 +146,52 @@ def test_window_genetic_correlation(gwas_run, tmp_path):
     assert (strong["estimate_cor"] > 0.9).all()
     with pytest.raises(ValueError, match="pair"):
         GWAS(model, map_df, f1, genetic_correlation=True)
+
+
+def test_gwas_backend_invariant_local_ebv(tmp_path):
+    """Dense-matrix and 2-bit-packed GWAS produce identical local EBVs and
+    window stats: both backends center columns (advisor regression — the
+    dense path previously used raw dosages, shifting local_EBV by a
+    per-window constant)."""
+    import numpy as np
+
+    from jwas_tpu import GWAS
+    from jwas_tpu.io.packed import prepare_packed_genotypes
+
+    rng = np.random.default_rng(5)
+    n, p, S = 60, 40, 8
+    X = rng.binomial(2, 0.4, size=(n, p)).astype(np.float64)
+    ids = [f"id{i}" for i in range(n)]
+    import pandas as pd
+
+    geno_df = pd.DataFrame(X, columns=[f"m{j}" for j in range(p)])
+    geno_df.insert(0, "ID", ids)
+    store = prepare_packed_genotypes(geno_df)
+
+    map_df = pd.DataFrame({
+        "markerID": [f"m{j}" for j in range(p)],
+        "chromosome": [1] * p,
+        "position": np.arange(p) * 100_000,
+    })
+    map_file = tmp_path / "map.csv"
+    map_df.to_csv(map_file, index=False)
+    samples = rng.normal(size=(S, p)) * (rng.uniform(size=(S, p)) < 0.2)
+    sf = tmp_path / "MCMC_samples_marker_effects_geno_y.txt"
+    with open(sf, "w") as fh:
+        fh.write(",".join(f"m{j}" for j in range(p)) + "\n")
+        for s in range(S):
+            fh.write(",".join(str(v) for v in samples[s]) + "\n")
+
+    out_d = GWAS(None, str(map_file), str(sf), genotypes=X,
+                 window_size="1 Mb", local_EBV=True)
+    out_p = GWAS(None, str(map_file), str(sf), genotypes=store,
+                 window_size="1 Mb", local_EBV=True)
+    df_d, ebv_d = out_d if isinstance(out_d, tuple) else (out_d, None)
+    df_p, ebv_p = out_p if isinstance(out_p, tuple) else (out_p, None)
+    np.testing.assert_allclose(df_d["prGenVar"], df_p["prGenVar"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(df_d["WPPA"], df_p["WPPA"], atol=1e-12)
+    if ebv_d is not None:
+        for k in ebv_d:
+            np.testing.assert_allclose(ebv_d[k], ebv_p[k],
+                                       rtol=1e-4, atol=1e-4)

@@ -79,3 +79,30 @@ def test_parents_only_in_columns_get_founder_entries():
     ped = get_pedigree(df)
     assert set(ped.ids) == {"a", "b", "c"}
     assert ped.inbreeding[ped.id_index["c"]] == 0.0
+
+
+def test_native_inbreeding_matches_python():
+    """The C++ Meuwissen-Luo kernel (native/pedigree.cpp) is bit-equivalent
+    to the pure-Python oracle on a deep random pedigree with inbreeding."""
+    import numpy as np
+    import pandas as pd
+
+    from jwas_tpu.io import pedigree as pmod
+
+    rng = np.random.default_rng(11)
+    n = 800
+    ids = [f"z{i}" for i in range(n)]
+    sire = ["missing" if i < 4 else ids[int(rng.integers(0, i))]
+            for i in range(n)]
+    dam = ["missing" if i < 4 else ids[int(rng.integers(0, i))]
+           for i in range(n)]
+    ped = pmod.get_pedigree(pd.DataFrame({"ID": ids, "S": sire, "D": dam}))
+    F_py = pmod._inbreeding_meuwissen_luo_py(ped.sire, ped.dam)
+    assert F_py.max() > 0.05       # actually exercises inbreeding paths
+    np.testing.assert_allclose(ped.inbreeding, F_py, atol=1e-12)
+    # A-inverse from the factored form agrees with the dense tabular A
+    Ai = ped.a_inverse()
+    A = ped.a_matrix()
+    np.testing.assert_allclose(
+        np.asarray(Ai.todense()) @ A, np.eye(n), atol=1e-6
+    )

@@ -57,7 +57,11 @@ def test_ssbr_imputation_algebra(famdata):
                          method="BayesC", name="geno")
     model = build_model("y = intercept + geno", genotypes=geno)
     model.ped = ped
-    Ai_nn, Ai_ng, nongeno_ids, geno_ids = _partitioned_a_inverse(model)
+    Ai_nn, Ai_ng, nongeno_ids, geno_ids, F_nn = _partitioned_a_inverse(model)
+    # the hAi column slice is a true factor of A_nn (sparse PO sampling)
+    np.testing.assert_allclose(
+        (F_nn.T @ F_nn).toarray(), Ai_nn.toarray(), atol=1e-10
+    )
 
     # brute force: A over the permuted order; conditional expectation of
     # centered dosages given relatives is A_ng' A_nn^-1 ... on the n-side.
