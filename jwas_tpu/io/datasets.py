@@ -395,8 +395,24 @@ def dataset(name: str, dataset_name: Optional[str] = None):
     the demo_7animals table of that name as a CSV file path (mirroring the
     reference `dataset(file)` path-resolver, Datasets.jl:4-12). Pass
     dataset_name="demo_7animals" explicitly for clarity.
+
+    The packaged tables here are ORIGINAL deterministic simulations (same
+    shapes/semantics as the reference's data, not its values). To reproduce
+    the reference's documented examples byte-for-byte, point
+    JWAS_REFERENCE_DATA at a JWAS.jl checkout's src/4.Datasets/data
+    directory — files found there are returned verbatim in preference to
+    the generated analogues.
     """
     ds_name = dataset_name or "demo_7animals"
+    ref_root = os.environ.get("JWAS_REFERENCE_DATA", "")
+    if ref_root:
+        base = os.path.splitext(name)[0]
+        ref_dir = os.path.join(ref_root, ds_name)
+        if os.path.isdir(ref_dir):
+            for cand in (name, f"{base}.txt", f"{base}.csv"):
+                p = os.path.join(ref_dir, cand)
+                if os.path.isfile(p):
+                    return p
     if ds_name not in _CACHE:
         generators = {
             "demo_7animals": _demo_7animals,

@@ -102,10 +102,18 @@ def to_host_memory(x):
 # b*group_blocks markers update against a shared (per-sync-round) residual —
 # independent-blocks semantics (BayesABC.jl:190-255). The parallel update is
 # a regularized Jacobi step whose coupling radius grows with the stale-set
-# aspect ratio q = G/n (Marchenko-Pastur support ~ q + 2 sqrt(q)); measured
-# on v5e synthetics: q = 0.33 is stable over 2048 sweeps, q = 0.66 diverges
-# within one outer iteration. Cap the stale set at 0.4 n with priority on
-# keeping the Pallas kernel's 128-block lane quantum by shrinking b.
+# aspect ratio q = G/n AND the schedule depth (consecutive sync rounds per
+# group visit). Measured boundaries (benchmarks/stability_sweep.py; table
+# committed at benchmarks/results/stability_sweep_r05.md, v5e, 2048-sweep
+# chains): with shallow visits (2x8-rep rounds) divergence starts at
+# q >= 1.0 (stale set >= n: more simultaneously-updated coordinates than
+# data constraints); at the production schedule (4x32-rep rounds,
+# nreps = block = 128) the boundary drops to between q = 0.40 (stable,
+# EBV acc 0.975) and q = 0.67 (diverges). The cap 0.4 n therefore sits at
+# the stable edge of the deepest schedule the engine ships; real-genotype
+# LD strengthens cross-block coupling vs the synthetic, so the cap is not
+# relaxed. Priority on keeping the Pallas kernel's 128-block lane quantum
+# by shrinking b.
 STALE_FRACTION = 0.4
 
 

@@ -30,10 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128          # hardware lane width; the kernel tile may span several
 
 # VMEM budget for keeping a lane-group's FULL (b, b, lanes) Gram tile
-# resident for the whole sweep. When it fits, the kernel needs ONE bulk DMA
-# per grid cell instead of one (b, lanes) row DMA per inner step — the
-# per-step DMA/semaphore overhead was the dominant cost of the sweep
-# (~5x off the bandwidth bound at the north-star shape).
+# resident for the whole sweep (ONE bulk DMA per grid cell instead of one
+# (b, lanes) row DMA per inner step). Measured round 5
+# (benchmarks/results/kernel_efficiency_r05.md): the resident variant is
+# WITHIN NOISE of the double-buffered per-step-DMA kernel at every engine
+# shape — the row DMA is already hidden behind compute; the kernel is
+# bound by the nreps*b strictly-sequential scalar steps (~0.4-1.4 us per
+# step depending on lane width), not by HBM traffic. Kept because it is
+# never slower and frees DMA bandwidth for the concurrent host-offload
+# streams in out-of-core runs.
 RESIDENT_BUDGET = 9 * 1024 * 1024
 
 

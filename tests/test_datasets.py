@@ -49,3 +49,23 @@ def test_unknown_dataset_errors():
         dataset("phenotypes", dataset_name="nope")
     with pytest.raises(ValueError, match="unknown table"):
         dataset("nope", dataset_name="demo_7animals")
+
+
+def test_dataset_reference_data_hook(tmp_path, monkeypatch):
+    """JWAS_REFERENCE_DATA points at a reference checkout's data dir: files
+    found there are returned verbatim (byte-for-byte example reproduction),
+    falling back to the generated analogues otherwise."""
+    import os
+
+    from jwas_tpu.io.datasets import dataset
+
+    ref = tmp_path / "data" / "demo_7animals"
+    ref.mkdir(parents=True)
+    (ref / "phenotypes.txt").write_text("ID,y\na1,1.0\n")
+    monkeypatch.setenv("JWAS_REFERENCE_DATA", str(tmp_path / "data"))
+    p = dataset("phenotypes")
+    assert p == str(ref / "phenotypes.txt")
+    assert open(p).read() == "ID,y\na1,1.0\n"
+    # a table the checkout does not carry falls back to the simulation
+    p2 = dataset("genotypes")
+    assert os.path.isfile(p2) and "jwas_tpu_demo_7animals" in p2

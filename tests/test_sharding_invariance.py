@@ -161,3 +161,60 @@ def test_packed_store_sharded_along_markers():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-4)
+
+
+def test_runmcmc_packed_store_on_marker_sharded_mesh():
+    """The production packed-store path on >1 device: a 2-bit store under a
+    marker-sharded mesh routes through the FLAT sharded packed sweep (the
+    grouped schedule is single-device by design, engine/mcmc.py), warns
+    that host_offload_genotypes=True is ignored, and still recovers the
+    signal. The same store without a mesh routes grouped — both
+    configurations must deliver the same accuracy."""
+    import warnings
+
+    from jwas_tpu import build_model, get_genotypes, runMCMC
+    from jwas_tpu.engine import mcmc as eng
+    from jwas_tpu.io.datasets import simulate_genomic_data
+    from jwas_tpu.io.packed import prepare_packed_genotypes
+    from jwas_tpu.parallel.mesh import make_mesh
+
+    sim = simulate_genomic_data(n=360, p=256, n_qtl=12, h2=0.6, seed=21)
+    store = prepare_packed_genotypes(sim["genotypes"])
+    accs = {}
+    seen = {}
+    orig = eng.make_run_window
+
+    def spy(cfg):
+        seen["grouped"] = cfg.grouped
+        seen["is_packed"] = cfg.is_packed
+        return orig(cfg)
+
+    for label, mesh, offload in (
+        ("mesh", make_mesh(n_chains=2, n_marker_shards=4), True),
+        ("single", None, False),
+    ):
+        geno = get_genotypes(store, method="BayesC", name="geno")
+        model = build_model("y = intercept + geno", genotypes=geno)
+        eng.make_run_window = spy
+        try:
+            with warnings.catch_warnings(record=True) as wlog:
+                warnings.simplefilter("always")
+                out = runMCMC(model, sim["phenotypes"], chain_length=480,
+                              burnin=96, seed=13, mesh=mesh,
+                              n_chains=(2 if mesh is not None else 1),
+                              fast_blocks=8, output_folder="",
+                              host_offload_genotypes=offload)
+        finally:
+            eng.make_run_window = orig
+        accs[label] = np.corrcoef(out["EBV_y"].EBV, sim["true_bv"])[0, 1]
+        assert seen["is_packed"] is True
+        if label == "mesh":
+            assert seen["grouped"] is False     # mesh bypasses grouped
+            assert any("host_offload_genotypes=True is ignored" in
+                       str(w.message) for w in wlog), (
+                "missing the documented mesh-bypass warning")
+        else:
+            assert seen["grouped"] is True
+    assert accs["mesh"] > 0.8, accs
+    assert accs["single"] > 0.8, accs
+    assert abs(accs["mesh"] - accs["single"]) < 0.1, accs
