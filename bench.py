@@ -428,15 +428,39 @@ def run_mt(jax, jnp):
     delta = jnp.zeros((t, p_pad), dtype)
     ycorr = y
 
-    run = jax.jit(
-        lambda alpha, beta, delta, ycorr, k: mt.mt_abc_blocks_I(
-            md, alpha, beta, delta, ycorr, None, R, ginv, pi, k,
+    # md is a jit ARGUMENT, never a closure: closing over it captures the
+    # 8.4 GB dense X as a lowering constant (the hybridize bug class).
+    # The sweep runs the group-sequential schedule: flat blocked MT at
+    # p/n = 33 is past the divergence boundary (stability_sweep_r05.md;
+    # the first round-5 MT capture measured NEGATIVE accuracy flat).
+    gb_mt = mk.stable_group_blocks(n, block, md.grams.shape[2])
+    print(f"# MT schedule: group_blocks={gb_mt or 'flat'} "
+          f"(stale={(gb_mt or md.grams.shape[2]) * block}, n={n})",
+          file=sys.stderr)
+
+    def _run(md_, alpha, beta, delta, ycorr, k):
+        if gb_mt:
+            def cg(md_g, sts, yc, g, kg):
+                a, be, d = sts
+                a, be, d, yc = mt.mt_abc_blocks_I(
+                    md_g, a, be, d, yc, None, R, ginv, pi, kg,
+                    nreps=nreps, sync_every=sync_every,
+                )
+                return (a, be, d), yc
+
+            (alpha, beta, delta), ycorr = mk.grouped_dense_sweep(
+                cg, md_, (alpha, beta, delta), ycorr, k, gb_mt
+            )
+            return alpha, beta, delta, ycorr
+        return mt.mt_abc_blocks_I(
+            md_, alpha, beta, delta, ycorr, None, R, ginv, pi, k,
             nreps=nreps, sync_every=sync_every,
         )
-    )
+
+    run = jax.jit(_run)
 
     t_c = time.perf_counter()
-    alpha, beta, delta, ycorr = run(alpha, beta, delta, ycorr,
+    alpha, beta, delta, ycorr = run(md, alpha, beta, delta, ycorr,
                                     jax.random.fold_in(key, 100))
     _sync(alpha)
     print(f"# compile+warmup: {time.perf_counter() - t_c:.1f}s",
@@ -445,7 +469,7 @@ def run_mt(jax, jnp):
     acc_sum = jnp.zeros((t, p_pad), dtype)
     t0 = time.perf_counter()
     for i in range(n_outer):
-        alpha, beta, delta, ycorr = run(alpha, beta, delta, ycorr,
+        alpha, beta, delta, ycorr = run(md, alpha, beta, delta, ycorr,
                                         jax.random.fold_in(key, 101 + i))
         acc_sum = acc_sum + alpha
     _sync(alpha)

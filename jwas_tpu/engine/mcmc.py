@@ -230,6 +230,41 @@ def make_st_step(cfg: EngineCfg):
                     k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
                     host_store=cfg.host_offload,
                 )
+        elif (cfg.method in ("BayesC", "BayesB") and cfg.use_blocks
+              and cfg.group_blocks):
+            # dense group-sequential schedule: the flat sweep's stale set is
+            # all of p, which diverges at p >> n (stability_sweep_r05.md);
+            # groups are visited sequentially exactly like the packed path
+            per_m = cfg.method == "BayesB"
+            md_d = mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid)
+            use_pl = cfg.use_pallas and cfg.group_blocks % 128 == 0
+            interp = jax.default_backend() not in ("tpu", "axon")
+
+            def cg_abc(md_g, sts, yc, g, kg):
+                a, be, d, pi_g = sts[:4]
+                ve_g = sts[4] if per_m else varg
+                if use_pl:
+                    from jwas_tpu.ops.pallas_sweep import (
+                        sweep_blocks_abc_pallas,
+                    )
+
+                    a, be, d, yc = sweep_blocks_abc_pallas(
+                        md_g, a, be, d, yc, rinv, state.vare, ve_g, pi_g,
+                        kg, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                        interpret=interp,
+                    )
+                else:
+                    a, be, d, yc = mk.sweep_blocks_abc(
+                        md_g, a, be, d, yc, rinv, state.vare, ve_g, pi_g,
+                        kg, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                    )
+                return (a, be, d, pi_g) + ((ve_g,) if per_m else ()), yc
+
+            sts = (alpha, beta, delta, pi) + ((varg,) if per_m else ())
+            out, ycorr = mk.grouped_dense_sweep(
+                cg_abc, md_d, sts, ycorr, k_mark, cfg.group_blocks
+            )
+            alpha, beta, delta = out[0], out[1], out[2]
         elif cfg.method in ("BayesC", "BayesB") and cfg.use_pallas:
             from jwas_tpu.ops.pallas_sweep import sweep_blocks_abc_pallas
 
@@ -256,7 +291,23 @@ def make_st_step(cfg: EngineCfg):
                     state.vare, var_eff, pi, k_mark,
                 )
         elif cfg.method in ("RR-BLUP", "BayesL"):
-            if cfg.use_blocks:
+            if cfg.use_blocks and cfg.group_blocks:
+                md_d = mk.MarkerBlocks(data.X, data.xpx, data.grams,
+                                       data.valid)
+
+                def cg_c0l(md_g, sts, yc, g, kg):
+                    a, gam_g = sts
+                    a, yc = mk.sweep_blocks_c0l(
+                        md_g, a, yc, rinv, state.vare, varg, gam_g, kg,
+                        nreps=cfg.nreps, sync_every=cfg.sync_every,
+                    )
+                    return (a, gam_g), yc
+
+                (alpha, _), ycorr = mk.grouped_dense_sweep(
+                    cg_c0l, md_d, (alpha, gamma_l), ycorr, k_mark,
+                    cfg.group_blocks,
+                )
+            elif cfg.use_blocks:
                 alpha, ycorr = mk.sweep_blocks_c0l(
                     mk.MarkerBlocks(data.X, data.xpx, data.grams, data.valid),
                     alpha, ycorr, rinv, state.vare, varg, gamma_l, k_mark,
@@ -310,6 +361,35 @@ def make_st_step(cfg: EngineCfg):
                     k_mark, nreps=cfg.nreps, sync_every=cfg.sync_every,
                     host_store=cfg.host_offload,
                     use_pallas=cfg.use_pallas, interpret=interp,
+                )
+            elif cfg.use_blocks and cfg.group_blocks:
+                md_d = mk.MarkerBlocks(data.X, data.xpx, data.grams,
+                                       data.valid)
+                use_pl = cfg.use_pallas and cfg.group_blocks % 128 == 0
+                interp = jax.default_backend() not in ("tpu", "axon")
+
+                def cg_r(md_g, sts, yc, g, kg):
+                    a, d, piT_g = sts
+                    if use_pl:
+                        from jwas_tpu.ops.pallas_sweep import (
+                            sweep_blocks_bayesr_pallas,
+                        )
+
+                        a, d, yc = sweep_blocks_bayesr_pallas(
+                            md_g, a, d, yc, rinv, state.vare, varg, piT_g.T,
+                            kg, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                            interpret=interp,
+                        )
+                    else:
+                        a, d, yc = mk.sweep_blocks_bayesr(
+                            md_g, a, d, yc, rinv, state.vare, varg, piT_g.T,
+                            kg, nreps=cfg.nreps, sync_every=cfg.sync_every,
+                        )
+                    return (a, d, piT_g), yc
+
+                (alpha, delta, _), ycorr = mk.grouped_dense_sweep(
+                    cg_r, md_d, (alpha, delta, pi_mat.T), ycorr, k_mark,
+                    cfg.group_blocks,
                 )
             elif cfg.use_blocks and cfg.use_pallas:
                 from jwas_tpu.ops.pallas_sweep import sweep_blocks_bayesr_pallas
@@ -694,6 +774,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     packed_pm = None
     host_offload = False
     grouped = False
+    group_blocks_dense = 0
     if method == "GBLUP":
         X = jnp.asarray(ws.gblup_L, dtype)
         xpx = jnp.asarray(ws.gblup_D, dtype)
@@ -752,7 +833,10 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
                 store_has_missing,
             )
 
-            bs, gb = pick_stable_blocks(n, bs, p)
+            # warn about the stability override only when the user asked for
+            # a specific size; the internal default heuristic adjusts quietly
+            user_sized = opts.fast_blocks is not True and bool(opts.fast_blocks)
+            bs, gb = pick_stable_blocks(n, bs, p, warn=user_sized)
             packed_pm = build_grouped_markers(
                 store, ws.obs_ids, bs,
                 rinv=ws.rinv if ws.rinv is not None else None, dtype=dtype,
@@ -794,6 +878,20 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
             md = mk.build_marker_blocks(jnp.asarray(Xnp, dtype), rinv if ws.rinv is not None else None, block_size=bs)
             X, xpx, grams, valid = md
             p_pad = X.shape[1]
+            # group-sequential schedule when the flat stale set b*nblocks
+            # would exceed the stability cap (dense analogue of the packed
+            # grouped path; benchmarks/results/stability_sweep_r05.md).
+            # Marker-sharded meshes keep the flat per-shard schedule.
+            mesh_d = opts.mesh
+            dense_marker_sharded = (
+                mesh_d is not None
+                and "marker" in tuple(getattr(mesh_d, "axis_names", ()))
+                and int(mesh_d.shape["marker"]) > 1
+            )
+            group_blocks_dense = (
+                0 if dense_marker_sharded
+                else mk.stable_group_blocks(n, bs, grams.shape[2])
+            )
             nreps = opts.nreps if opts.nreps is not None else bs
             # exact chain-length accounting: never run more effective
             # sweeps than the user asked for (JWAS.jl:313 floors; we
@@ -1000,6 +1098,7 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         host_offload=host_offload,
         grouped=grouped,
         has_missing_codes=has_missing_codes if grouped else True,
+        group_blocks=group_blocks_dense,
         sparse_loc=sparse_mode,
         cg_maxiter=int(getattr(opts, "cg_maxiter", 200)),
         # out-of-core runs overlap each group's PCIe stage with the previous

@@ -217,7 +217,29 @@ def make_mt_step(cfg: MTEngineCfg):
                     1.0,
                 )
                 kt = jax.random.split(k_mark, t)
-                if cfg.use_blocks:
+                if cfg.use_blocks and cfg.group_blocks:
+                    # group-sequential per trait (flat stale set = all of p
+                    # diverges at p >> n; stability_sweep_r05.md)
+                    def f(a, b_, d, yc, ve, vg, pv, k2):
+                        per_m = vg.ndim == 1
+
+                        def cg(md_g, sts, yc2, g, kg):
+                            a2, b2, d2, pv_g = sts[:4]
+                            vg_g = sts[4] if per_m else vg
+                            a2, b2, d2, yc2 = mk.sweep_blocks_abc(
+                                md_g, a2, b2, d2, yc2, rinv, ve, vg_g, pv_g,
+                                kg, nreps=cfg.nreps,
+                                sync_every=cfg.sync_every,
+                            )
+                            return ((a2, b2, d2, pv_g)
+                                    + ((vg_g,) if per_m else ())), yc2
+
+                        sts = (a, b_, d, pv) + ((vg,) if per_m else ())
+                        out, yc = mk.grouped_dense_sweep(
+                            cg, md, sts, yc, k2, cfg.group_blocks
+                        )
+                        return out[0], out[1], out[2], yc
+                elif cfg.use_blocks:
                     f = lambda a, b_, d, yc, ve, vg, pv, k2: mk.sweep_blocks_abc(
                         md, a, b_, d, yc, rinv, ve, vg, pv, k2,
                         nreps=cfg.nreps, sync_every=cfg.sync_every
@@ -238,7 +260,44 @@ def make_mt_step(cfg: MTEngineCfg):
                 ) if cfg.use_blocks else (
                     mt.mt_abc_exact_I if cfg.mt_sampler == "I" else mt.mt_abc_exact_II
                 )
-                if cfg.use_blocks:
+                if cfg.use_blocks and cfg.group_blocks:
+                    per_marker_pi = pi.ndim == 2
+                    per_locus_g = ginv.ndim == 3
+
+                    def cg_mt(md_g, sts, yc, g, kg):
+                        a, be, d = sts[:3]
+                        i = 3
+                        if per_marker_pi:
+                            pi_g = sts[i].T
+                            i += 1
+                        else:
+                            pi_g = pi
+                        if per_locus_g:
+                            ginv_g = jnp.moveaxis(sts[i], -1, 0)
+                            i += 1
+                        else:
+                            ginv_g = ginv
+                        a, be, d, yc = sweep(
+                            md_g, a, be, d, yc, rinv, R, ginv_g, pi_g, kg,
+                            nreps=cfg.nreps, sync_every=cfg.sync_every,
+                        )
+                        out = (a, be, d)
+                        if per_marker_pi:
+                            out = out + (pi_g.T,)
+                        if per_locus_g:
+                            out = out + (jnp.moveaxis(ginv_g, 0, -1),)
+                        return out, yc
+
+                    sts = (alpha, beta, delta)
+                    if per_marker_pi:
+                        sts = sts + (pi.T,)
+                    if per_locus_g:
+                        sts = sts + (jnp.moveaxis(ginv, 0, -1),)
+                    out, ycorr = mk.grouped_dense_sweep(
+                        cg_mt, md, sts, ycorr, k_mark, cfg.group_blocks
+                    )
+                    alpha, beta, delta = out[0], out[1], out[2]
+                elif cfg.use_blocks:
                     alpha, beta, delta, ycorr = sweep(
                         md, alpha, beta, delta, ycorr, rinv, R, ginv, pi, k_mark,
                         nreps=cfg.nreps, sync_every=cfg.sync_every,
@@ -251,7 +310,21 @@ def make_mt_step(cfg: MTEngineCfg):
         elif cfg.method in ("RR-BLUP", "BayesL"):
             if cfg.constraint:
                 kt = jax.random.split(k_mark, t)
-                if cfg.use_blocks:
+                if cfg.use_blocks and cfg.group_blocks:
+                    def f(a, yc, ve, vg, k2):
+                        def cg(md_g, sts, yc2, g, kg):
+                            a2, gam_g = sts
+                            a2, yc2 = mk.sweep_blocks_c0l(
+                                md_g, a2, yc2, rinv, ve, vg, gam_g, kg,
+                                nreps=cfg.nreps, sync_every=cfg.sync_every,
+                            )
+                            return (a2, gam_g), yc2
+
+                        out, yc = mk.grouped_dense_sweep(
+                            cg, md, (a, gamma_l), yc, k2, cfg.group_blocks
+                        )
+                        return out[0], yc
+                elif cfg.use_blocks:
                     f = lambda a, yc, ve, vg, k2: mk.sweep_blocks_c0l(
                         md, a, yc, rinv, ve, vg, gamma_l, k2,
                         nreps=cfg.nreps, sync_every=cfg.sync_every
@@ -265,7 +338,21 @@ def make_mt_step(cfg: MTEngineCfg):
                 )
             else:
                 ginv = jnp.linalg.inv(varg)
-                if cfg.use_blocks:
+                if cfg.use_blocks and cfg.group_blocks:
+                    def cg_c0l(md_g, sts, yc, g, kg):
+                        a, gam_g = sts
+                        a, yc = mt.mt_c0l_blocks(
+                            md_g, a, yc, rinv, R, ginv, gam_g, kg,
+                            nreps=cfg.nreps, sync_every=cfg.sync_every,
+                        )
+                        return (a, gam_g), yc
+
+                    out, ycorr = mk.grouped_dense_sweep(
+                        cg_c0l, md, (alpha, gamma_l), ycorr, k_mark,
+                        cfg.group_blocks,
+                    )
+                    alpha = out[0]
+                elif cfg.use_blocks:
                     alpha, ycorr = mt.mt_c0l_blocks(
                         md, alpha, ycorr, rinv, R, ginv, gamma_l, k_mark,
                         nreps=cfg.nreps, sync_every=cfg.sync_every,
@@ -576,6 +663,7 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
 
     method = ws.geno.method if ws.geno is not None else "none"
     use_blocks = bool(opts.fast_blocks) and method not in ("GBLUP", "none")
+    group_blocks_dense = 0
     if method == "GBLUP":
         X = jnp.asarray(ws.gblup_L, dtype)
         xpx = jnp.asarray(ws.gblup_D, dtype)
@@ -594,6 +682,9 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
             )
             X, xpx, grams, valid = md
             p_pad = X.shape[1]
+            # dense group-sequential schedule at p >> n (stability cap;
+            # same rule as the single-trait engine)
+            group_blocks_dense = mk.stable_group_blocks(n, bs, grams.shape[2])
             nreps = opts.nreps if opts.nreps is not None else bs
             # exact chain-length accounting: never run more effective
             # sweeps than the user asked for (JWAS.jl:313 floors; we
@@ -800,6 +891,7 @@ def build_mt_data_and_state(ws: Workspace, opts, dtype):
         constraint=constraint,
         missing_phenotypes=bool(opts.missing_phenotypes) and len(pattern_masks) > 1,
         mt_sampler=mt_sampler,
+        group_blocks=group_blocks_dense,
         trait_types=trait_types,
         cat_counts=tuple(cat_counts),
         pattern_rows=pattern_rows, pattern_masks=pattern_masks,

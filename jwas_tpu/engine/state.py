@@ -114,6 +114,11 @@ class EngineCfg:
     prefetch: bool = False    # grouped sweeps: software-pipeline the H2D
                               # stage of group g+1 under group g's compute
                               # (costs one extra resident group tile)
+    group_blocks: int = 0     # dense blocked sweeps: lane-group size for the
+                              # group-sequential schedule (0 = flat). Set when
+                              # the flat stale set b*nblocks would exceed
+                              # STALE_FRACTION*n (ops/markers.py:
+                              # grouped_dense_sweep / stable_group_blocks)
     sparse_loc: bool = False  # matrix-free sparse location-MME: joint
                               # perturbation-optimization CG draw instead of
                               # the dense single-site pass (ops/sparse_mme.py;

@@ -504,3 +504,74 @@ def sweep_gblup(L, D, alpha, ycorr, rinv, vare, var_a, key):
     alpha_new = mean + z * jnp.sqrt(vare / lhs)
     ycorr = ycorr - L @ alpha_new
     return alpha_new, ycorr
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential schedule for DENSE blocked sweeps.
+#
+# The flat blocked sweeps above advance ALL nblocks in parallel per sync
+# round — independent-blocks semantics with a stale set of all p markers.
+# That is metastable at p >> n (measured boundary: diverges at stale/n >= 1
+# even with shallow schedules; benchmarks/results/stability_sweep_r05.md).
+# The packed/out-of-core path solved this with the grouped store
+# (ops/grouped.py); this wrapper brings the same schedule to dense
+# MarkerBlocks: lane-groups of blocks are visited SEQUENTIALLY (group g+1
+# sees the residual updated by group g), so the parallel-stale set per sync
+# round is b * group_blocks, capped by grouped.STALE_FRACTION.
+# ---------------------------------------------------------------------------
+
+
+def grouped_dense_sweep(call_group, md: MarkerBlocks, states, ycorr, key,
+                        group_blocks: int):
+    """Walk lane-groups of a dense MarkerBlocks sequentially.
+
+    call_group(md_g, states_g, ycorr, g, key_g) -> (states_g_out, ycorr):
+    runs the flat blocked sweep on one group's sub-MarkerBlocks. `states` is
+    a tuple of arrays whose LAST axis is the marker axis (p_pad = b*nblocks);
+    leading axes (e.g. traits) pass through. group_blocks must divide
+    nblocks. Key convention: group g gets fold_in(key, g), so a single-group
+    call reproduces the flat sweep invoked with fold_in(key, 0)."""
+    b, _, nblocks = md.grams.shape
+    gb = int(group_blocks)
+    if nblocks % gb:
+        raise ValueError(f"group_blocks {gb} must divide nblocks {nblocks}")
+    ngroups = nblocks // gb
+    G = b * gb
+    n = md.X.shape[0]
+
+    def slice_p(x, g):
+        start = (0,) * (x.ndim - 1) + (g * G,)
+        return jax.lax.dynamic_slice(x, start, x.shape[:-1] + (G,))
+
+    def body(carry, g):
+        states_c, yc = carry
+        md_g = MarkerBlocks(
+            jax.lax.dynamic_slice(md.X, (0, g * G), (n, G)),
+            slice_p(md.xpx, g),
+            jax.lax.dynamic_slice(md.grams, (0, 0, g * gb), (b, b, gb)),
+            slice_p(md.valid, g),
+        )
+        states_g = tuple(slice_p(s, g) for s in states_c)
+        out_states, yc = call_group(md_g, states_g, yc, g,
+                                    jax.random.fold_in(key, g))
+        new_states = tuple(
+            jax.lax.dynamic_update_slice(s, o.astype(s.dtype),
+                                         (0,) * (s.ndim - 1) + (g * G,))
+            for s, o in zip(states_c, out_states)
+        )
+        return (new_states, yc), None
+
+    (states, ycorr), _ = jax.lax.scan(body, (tuple(states), ycorr),
+                                      jnp.arange(ngroups))
+    return states, ycorr
+
+
+def stable_group_blocks(n_obs: int, b: int, nblocks: int) -> int:
+    """Largest lane-group (preferring the 128 kernel quantum) whose stale
+    set b*gb honors grouped.STALE_FRACTION * n; 0 = flat sweep is fine."""
+    from jwas_tpu.ops.grouped import STALE_FRACTION, pick_group_blocks
+
+    cap = max(1, int(STALE_FRACTION * n_obs) // b)
+    if nblocks <= cap:
+        return 0
+    return pick_group_blocks(nblocks, prefer=128, cap=cap)
