@@ -568,6 +568,11 @@ def main():
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     sync_every = int(os.environ.get("BENCH_SYNC", min(8, nreps)))
     nblocks = grams.shape[2]
+    # group-sequential schedule: flat at p/n ~ 8 is past the stability
+    # boundary (stability_sweep_r05.md)
+    from jwas_tpu.ops import markers as _mk
+
+    gb_dense = _mk.stable_group_blocks(n, block, nblocks)
     cfg = STEngineCfg(
         method="BayesC", n_obs=n, n_markers=p, n_loc=K,
         estimate_pi=True, estimate_marker_variance=True, estimate_scale=False,
@@ -576,6 +581,7 @@ def main():
         re_groups=(), df_residual=4.0, df_marker=4.0, has_weights=False,
         use_pallas=use_pallas and nblocks % 128 == 0,
         is_packed=False,
+        group_blocks=gb_dense,
         scale_R=vary_analytic * 0.5,
     )
     data = STData(

@@ -200,3 +200,45 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
         ckpt.load_checkpoint(path, bad)
     with pytest.raises(ValueError, match="leaves"):
         ckpt.load_checkpoint(path, {"a": np.arange(4.0)})
+
+
+def test_sparse_location_resume_bitwise_identical(tmp_path):
+    """Checkpoint/resume composes with the sparse location-MME engine
+    (pedigree model forced onto the PO-CG path): interrupted-and-resumed
+    equals uninterrupted bitwise."""
+    from jwas_tpu import get_pedigree, set_random
+
+    rng = np.random.default_rng(5)
+    n = 80
+    ids = [f"s{i}" for i in range(n)]
+    sire = ["missing" if i < 4 else ids[int(rng.integers(0, i))]
+            for i in range(n)]
+    dam = ["missing" if i < 4 else ids[int(rng.integers(0, i))]
+          for i in range(n)]
+    ped = get_pedigree(pd.DataFrame({"ID": ids, "S": sire, "D": dam}))
+    y = 1.0 + rng.normal(size=n)
+    df = pd.DataFrame({"ID": ids, "y": y})
+
+    def run(tag, ck, resume=False):
+        model = build_model("y = intercept + ID")
+        set_random(model, "ID", ped, np.array(1.0))
+        return runMCMC(model, df, chain_length=60, burnin=10,
+                       output_samples_frequency=5, seed=42,
+                       output_folder=str(tmp_path / tag),
+                       sparse_location=True, checkpoint_frequency=20,
+                       checkpoint_folder=ck, checkpoint_keep=10,
+                       resume=resume, printout_model_info=False)
+
+    ck_a = str(tmp_path / "ck_sa")
+    full = run("sa", ck_a)
+    ckpts = sorted(glob.glob(os.path.join(ck_a, "ckpt_*.npz")))
+    assert len(ckpts) >= 2
+    ck_b = str(tmp_path / "ck_sb")
+    os.makedirs(ck_b)
+    shutil.copy(ckpts[0], ck_b)
+    resumed = run("sb", ck_b, resume=True)
+    np.testing.assert_array_equal(
+        full["EBV_y"].EBV.to_numpy(), resumed["EBV_y"].EBV.to_numpy()
+    )
+    pd.testing.assert_frame_equal(full["residual variance"],
+                                  resumed["residual variance"])
