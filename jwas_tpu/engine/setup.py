@@ -448,10 +448,13 @@ def prepare_workspace(model: Model, df: pd.DataFrame, opts: MCMCOptions) -> Work
         or (opts.sparse_location is None and t == 1 and K_loc > 20_000
             and opts.RRM is None and opts.causal_structure is None)
     )
-    if use_sparse_loc and t != 1:
+    if opts.sparse_location is True and (
+        t != 1 or opts.RRM is not None or opts.causal_structure is not None
+    ):
         raise ValueError(
-            "sparse_location=True supports single-trait models only; "
-            "multi-trait MMEs use the dense location path"
+            "sparse_location=True supports single-trait (non-RRM, non-SEM) "
+            "models only; multi-trait/RRM/SEM MMEs use the dense location "
+            "path"
         )
     if use_sparse_loc:
         # matrix-free location path (ops/sparse_mme.py): never densify the

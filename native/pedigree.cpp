@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <queue>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -23,15 +24,19 @@ void jwas_inbreeding_ml(const int64_t* sire, const int64_t* dam, int64_t n,
                         double* F) {
     std::vector<double> L(n, 0.0);
     std::priority_queue<int64_t> heap;
+    // full siblings share F regardless of ordering: memoize by (sire, dam)
+    std::unordered_map<uint64_t, double> fam;
     for (int64_t i = 0; i < n; ++i) {
         int64_t s = sire[i], d = dam[i];
         if (s < 0 || d < 0) {
             F[i] = 0.0;
             continue;
         }
-        // full siblings share F: the previous animal's value is reusable
-        if (i > 0 && s == sire[i - 1] && d == dam[i - 1]) {
-            F[i] = F[i - 1];
+        uint64_t key = (static_cast<uint64_t>(s + 1) << 32)
+                       | static_cast<uint64_t>(d + 1);
+        auto it = fam.find(key);
+        if (it != fam.end()) {
+            F[i] = it->second;
             continue;
         }
         L[i] = 1.0;
@@ -59,6 +64,7 @@ void jwas_inbreeding_ml(const int64_t* sire, const int64_t* dam, int64_t n,
             }
         }
         F[i] = f;
+        fam.emplace(key, f);
     }
 }
 

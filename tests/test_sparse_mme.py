@@ -258,3 +258,16 @@ def test_solve_sparse_100k_levels():
                   tolerance=1e-12)
     cj = np.corrcoef(out_j["Estimate"].to_numpy()[1:], est)[0, 1]
     assert cj > 0.999, cj
+
+
+def test_sparse_location_forced_invalid_combos_raise():
+    from jwas_tpu import build_model, runMCMC
+
+    rng = np.random.default_rng(2)
+    ids = [f"q{i}" for i in range(30)]
+    df = pd.DataFrame({"ID": ids, "y1": rng.normal(size=30),
+                       "y2": rng.normal(size=30)})
+    model = build_model("y1 = intercept\ny2 = intercept")
+    with pytest.raises(ValueError, match="single-trait"):
+        runMCMC(model, df, chain_length=5, output_folder="",
+                sparse_location=True)
