@@ -180,7 +180,14 @@ def _native_ped_lib():
     lib_path = os.path.join(cache, "libjwasped.so")
     if (not os.path.exists(lib_path)
             or os.path.getmtime(lib_path) < os.path.getmtime(src)):
-        cmd = ["g++", "-O3", "-shared", "-fPIC", src, "-o", lib_path + ".tmp"]
+        cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", src,
+               "-o", lib_path + ".tmp"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(lib_path + ".tmp", lib_path)
+        except Exception:
+            cmd = ["g++", "-O3", "-shared", "-fPIC", src,
+                   "-o", lib_path + ".tmp"]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             os.replace(lib_path + ".tmp", lib_path)
@@ -193,11 +200,14 @@ def _native_ped_lib():
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
     lib.jwas_inbreeding_ml.argtypes = [i64p, i64p, ctypes.c_int64, f64p]
+    lib.jwas_inbreeding_ml_eps.argtypes = [i64p, i64p, ctypes.c_int64,
+                                           ctypes.c_double, f64p]
     _PED_LIB = lib
     return _PED_LIB
 
 
-def _inbreeding_meuwissen_luo(sire: np.ndarray, dam: np.ndarray) -> np.ndarray:
+def _inbreeding_meuwissen_luo(sire: np.ndarray, dam: np.ndarray,
+                              tolerance: float = 0.0) -> np.ndarray:
     """Inbreeding coefficients for a topologically coded pedigree.
 
     Meuwissen & Luo (1992). Equivalent to the reference's memoised recursive
@@ -208,10 +218,17 @@ def _inbreeding_meuwissen_luo(sire: np.ndarray, dam: np.ndarray) -> np.ndarray:
     lib = _native_ped_lib()
     if lib is not None:
         F = np.zeros(len(sire), dtype=np.float64)
-        lib.jwas_inbreeding_ml(np.ascontiguousarray(sire, dtype=np.int64),
-                               np.ascontiguousarray(dam, dtype=np.int64),
-                               len(sire), F)
+        lib.jwas_inbreeding_ml_eps(
+            np.ascontiguousarray(sire, dtype=np.int64),
+            np.ascontiguousarray(dam, dtype=np.int64),
+            len(sire), float(tolerance), F,
+        )
         return F
+    if tolerance:
+        raise ValueError(
+            "inbreeding_tolerance requires the native pedigree kernel "
+            "(native/pedigree.cpp failed to build)"
+        )
     return _inbreeding_meuwissen_luo_py(sire, dam)
 
 
@@ -257,12 +274,21 @@ def get_pedigree(
     header: bool = False,
     separator: str = ",",
     missingstring: Sequence[str] = ("0",),
+    inbreeding_tolerance: float = 0.0,
 ) -> Pedigree:
     """Load a pedigree from a CSV file or DataFrame (id, sire, dam).
 
     Mirrors `get_pedigree` (PedModule.jl:22-58): individuals referenced only as
     parents get founder entries; IDs are coded topologically; inbreeding is
     computed for everyone.
+
+    inbreeding_tolerance: truncate each Meuwissen-Luo ancestor walk at path
+    coefficients below this value (0 = exact, the default). Deep complete
+    pedigrees (50+ generations, every ancestor recorded) make the exact
+    walk O(all ancestors) per animal; 1e-8 bounds the per-animal F error
+    below ~1e-10 while capping the walk at ~27 generations — at the 500k-
+    animal single-step flagship scale this is the difference between
+    minutes and hours.
     """
     if isinstance(pedfile, pd.DataFrame):
         df = pedfile.iloc[:, :3].astype(str)
@@ -308,7 +334,8 @@ def get_pedigree(
             sire[c] = codes[s]
         if d != MISSING:
             dam[c] = codes[d]
-    inbreeding = _inbreeding_meuwissen_luo(sire, dam)
+    inbreeding = _inbreeding_meuwissen_luo(sire, dam,
+                                           tolerance=inbreeding_tolerance)
     return Pedigree(ids=list(ids), sire=sire, dam=dam, inbreeding=inbreeding)
 
 

@@ -96,6 +96,12 @@ def test_native_inbreeding_matches_python():
             for i in range(n)]
     dam = ["missing" if i < 4 else ids[int(rng.integers(0, i))]
            for i in range(n)]
+    # the kernel must actually BUILD: a compile failure silently falls
+    # back to Python, which would make this test vacuous (and round-5
+    # nearly shipped a size_t-scope compile error exactly that way)
+    assert pmod._native_ped_lib() is not None, (
+        "native/pedigree.cpp failed to compile"
+    )
     ped = pmod.get_pedigree(pd.DataFrame({"ID": ids, "S": sire, "D": dam}))
     F_py = pmod._inbreeding_meuwissen_luo_py(ped.sire, ped.dam)
     assert F_py.max() > 0.05       # actually exercises inbreeding paths
@@ -106,3 +112,25 @@ def test_native_inbreeding_matches_python():
     np.testing.assert_allclose(
         np.asarray(Ai.todense()) @ A, np.eye(n), atol=1e-6
     )
+
+
+def test_native_inbreeding_eps_truncation_bound():
+    """inbreeding_tolerance truncates ancestor walks with a bounded effect:
+    at 1e-8 the result is numerically identical to exact."""
+    import numpy as np
+    import pandas as pd
+
+    from jwas_tpu.io import pedigree as pmod
+
+    rng = np.random.default_rng(2)
+    n = 1500
+    ids = [f"t{i}" for i in range(n)]
+    sire = ["missing" if i < 30 else ids[int(rng.integers(max(i - 60, 0), i))]
+            for i in range(n)]
+    dam = ["missing" if i < 30 else ids[int(rng.integers(max(i - 60, 0), i))]
+           for i in range(n)]
+    df = pd.DataFrame({"ID": ids, "S": sire, "D": dam})
+    exact = pmod.get_pedigree(df)
+    trunc = pmod.get_pedigree(df, inbreeding_tolerance=1e-8)
+    np.testing.assert_allclose(trunc.inbreeding, exact.inbreeding, atol=1e-6)
+    assert exact.inbreeding.max() > 0.05
