@@ -271,3 +271,51 @@ def test_sparse_location_forced_invalid_combos_raise():
     with pytest.raises(ValueError, match="single-trait"):
         runMCMC(model, df, chain_length=5, output_folder="",
                 sparse_location=True)
+
+
+def test_runmcmc_sparse_multi_term_group_matches_dense():
+    """A TWO-term correlated pedigree group (direct + maternal) through the
+    sparse engine: exercises the k>1 branches of the PO sampler's
+    (L_G x F') prior-noise term and the sparse VC quadratic forms, which
+    the single-term tests cannot reach. Dense and sparse runs must agree
+    on EBVs and the 2x2 VC estimate within MC error."""
+    from jwas_tpu import build_model, runMCMC, set_random
+
+    rng = np.random.default_rng(21)
+    ped = _random_pedigree(150, seed=21)
+    ids = list(ped.ids)
+    n_ids = len(ids)
+    A = ped.a_matrix()
+    Lch = np.linalg.cholesky(A + 1e-8 * np.eye(n_ids))
+    G0 = np.array([[1.0, 0.4], [0.4, 0.6]])
+    LG = np.linalg.cholesky(G0)
+    z = rng.normal(size=(n_ids, 2)) @ LG.T
+    u = Lch @ z                        # (n, 2) correlated direct+maternal
+    dam_of = {ids[i]: (ids[ped.dam[i]] if ped.dam[i] >= 0 else ids[0])
+              for i in range(n_ids)}
+    y = (2.0 + u[:, 0]
+         + np.array([u[ids.index(dam_of[s]), 1] for s in ids])
+         + rng.normal(size=n_ids) * 0.8)
+    df = pd.DataFrame({"ID": ids, "dam": [dam_of[s] for s in ids], "y": y})
+
+    outs = {}
+    for mode in (False, True):
+        model = build_model("y = intercept + ID + dam")
+        set_random(model, "ID dam", ped, G0)
+        outs[mode] = runMCMC(model, df, chain_length=2500, burnin=500,
+                             seed=6, output_folder="", sparse_location=mode,
+                             printout_model_info=False)
+    ebv_d = outs[False]["EBV_y"].set_index("ID").EBV
+    ebv_s = outs[True]["EBV_y"].set_index("ID").EBV.reindex(ebv_d.index)
+    corr = np.corrcoef(ebv_d, ebv_s)[0, 1]
+    assert corr > 0.9, corr
+    # the 2x2 VC estimates agree within MC error
+    key = [k for k in outs[False] if "polygenic" in k or "ID" in k
+           and "variance" in k.lower()]
+    for k in outs[False]:
+        if "variance" in k.lower() and "residual" not in k.lower():
+            vd = np.asarray(outs[False][k]["Estimate"], dtype=float)
+            vs = np.asarray(outs[True][k]["Estimate"], dtype=float)
+            if vd.size:
+                assert np.all(np.abs(vd - vs) / (np.abs(vd) + 0.2) < 0.5), (
+                    k, vd, vs)
