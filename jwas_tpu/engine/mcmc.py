@@ -957,7 +957,6 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
     if sparse_mode:
         import scipy.sparse as _sp
 
-        out_W = np.zeros((n_out, 0))
         blocks = []
         for term_name in ws.prediction_terms:
             term = model.term_dict[term_name]
@@ -1101,6 +1100,9 @@ def _build_st_data_and_state(ws: Workspace, opts: MCMCOptions, dtype):
         group_blocks=group_blocks_dense,
         sparse_loc=sparse_mode,
         cg_maxiter=int(getattr(opts, "cg_maxiter", 200)),
+        # f32 residuals plateau around 1e-6..1e-7: a tighter tol would
+        # never fire and every draw would burn the full cg_maxiter
+        cg_tol=1e-8 if opts.double_precision else 1e-6,
         # out-of-core runs overlap each group's PCIe stage with the previous
         # group's compute (one extra resident tile; ~25% wall-clock at the
         # north-star shape)

@@ -108,6 +108,19 @@ def _blocked_cg_spd(A, B, tol=1e-10, maxiter=2000):
         beta = rz_new / np.where(rz > 0, rz, 1.0)
         P = Z + P * beta[None, :]
         rz = rz_new
+    res = np.sqrt(np.einsum("ij,ij->j", R, R)) / b_norm
+    worst = float(res.max()) if res.size else 0.0
+    if worst > 1e-6:
+        # unlike the exact splu path this solver CAN return early on an
+        # ill-conditioned system; never do so silently
+        import warnings
+
+        warnings.warn(
+            f"imputation CG did not fully converge: max relative residual "
+            f"{worst:.2e} after {maxiter} iterations (tol {tol:.0e}); "
+            f"imputed genotypes may be slightly biased — check the "
+            f"pedigree for extreme inbreeding loops"
+        )
     return X
 
 

@@ -96,11 +96,28 @@ def solve(
         x = jacobi(LHS, RHS, tolerance=tolerance, maxiter=maxiter)
     elif solver == "Gauss-Seidel":
         x = gauss_seidel(LHS, RHS, tolerance=tolerance, maxiter=maxiter)
+    elif solver == "CG":
+        # same surface as the sparse path so solver='CG' works regardless
+        # of which side of the auto-sparse threshold the model lands on
+        import scipy.sparse as sp
+        from scipy.sparse.linalg import cg as sp_cg
+
+        D = np.diag(LHS)
+        free = D > 0
+        Dsafe = np.where(free, D, 1.0)
+        A = LHS + np.diag((~free).astype(np.float64))
+        x, _ = sp_cg(A, np.where(free, RHS, 0.0),
+                     rtol=max(tolerance, 1e-12), maxiter=maxiter,
+                     M=sp.diags(1.0 / Dsafe))
+        x = np.where(free, x, 0.0)
     elif solver == "Gibbs":
         vare = float(ws.vare0) if ws.n_traits == 1 else None
         x = np.asarray(gibbs_solver(LHS, RHS, vare=vare, niter=maxiter))
     else:
-        raise ValueError("solver must be 'default', 'Jacobi', 'Gauss-Seidel', or 'Gibbs'")
+        raise ValueError(
+            "solver must be 'default', 'Jacobi', 'Gauss-Seidel', 'CG', or "
+            "'Gibbs'"
+        )
     return pd.DataFrame({"Name": names, "Estimate": np.asarray(x)})
 
 
@@ -220,7 +237,7 @@ def _solve_sparse(model, ws, *, solver, tolerance, maxiter):
         rinv_j = None if ws.rinv is None else jnp.asarray(rinv, jnp.float32)
         draw = jax.jit(lambda k, x0: sample_location_po(
             k, sl, re_cfgs, rhs_j, gis, jnp.asarray(vare, jnp.float32),
-            rinv_j, n, chols, x0=x0, tol=1e-8, maxiter=500))
+            rinv_j, n, chols, x0=x0, tol=1e-6, maxiter=500))
         ndraws = min(int(maxiter), 1000)
         key = jax.random.PRNGKey(0)
         xj = jnp.zeros((K,), jnp.float32)

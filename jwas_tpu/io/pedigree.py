@@ -180,18 +180,21 @@ def _native_ped_lib():
     lib_path = os.path.join(cache, "libjwasped.so")
     if (not os.path.exists(lib_path)
             or os.path.getmtime(lib_path) < os.path.getmtime(src)):
-        cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", src,
-               "-o", lib_path + ".tmp"]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(lib_path + ".tmp", lib_path)
-        except Exception:
-            cmd = ["g++", "-O3", "-shared", "-fPIC", src,
+        # OpenMP build first; a toolchain without it falls back to the
+        # sequential build (identical results, single-threaded)
+        built = False
+        for flags in (["-O3", "-fopenmp"], ["-O3"]):
+            cmd = ["g++", *flags, "-shared", "-fPIC", src,
                    "-o", lib_path + ".tmp"]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(lib_path + ".tmp", lib_path)
-        except Exception:
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+                os.replace(lib_path + ".tmp", lib_path)
+                built = True
+                break
+            except Exception:
+                continue
+        if not built:
             return None
     try:
         lib = ctypes.CDLL(lib_path)
@@ -300,10 +303,6 @@ def get_pedigree(
             dtype=str,
         ).iloc[:, :3]
     missing_set = set(missingstring) | {"", "nan", "NaN", MISSING}
-
-    def norm(x) -> str:
-        x = str(x).strip()
-        return MISSING if x in missing_set else x
 
     cols = [df.iloc[:, k].astype(str).str.strip() for k in range(3)]
     for c in cols:

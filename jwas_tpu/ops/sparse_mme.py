@@ -201,7 +201,7 @@ def build_sparse_loc(W_csr, rinv_np, re_groups, re_cfgs,
     K = W_csr.shape[1]
     w_rows = jnp.asarray(W.row.astype(np.int32))
     w_cols = jnp.asarray(W.col.astype(np.int32))
-    w_vals = jnp.asarray(W.data.astype(np.float32), dtype)
+    w_vals = jnp.asarray(W.data, dtype)
     r = np.ones(W_csr.shape[0]) if rinv_np is None else np.asarray(rinv_np)
     diag_w = np.zeros(K)
     np.add.at(diag_w, W.col, (W.data ** 2) * r[W.row])

@@ -95,3 +95,36 @@ def test_solve_mt_large_levels():
     corr = np.corrcoef(est, eff[observed])[0, 1]
     assert corr > 0.95, corr
     assert time.time() - t0 < 300
+
+
+def test_solve_cg_works_on_both_dense_and_sparse_paths():
+    """solver='CG' must behave identically on either side of the
+    auto-sparse threshold (review finding: it existed only sparse-side)."""
+    import numpy as np
+    import pandas as pd
+
+    from jwas_tpu import build_model, get_pedigree, set_random, solve
+
+    rng = np.random.default_rng(8)
+    n = 150
+    ids = [f"g{i}" for i in range(n)]
+    sire = ["missing" if i < 5 else ids[int(rng.integers(0, i))]
+            for i in range(n)]
+    dam = ["missing" if i < 5 else ids[int(rng.integers(0, i))]
+           for i in range(n)]
+    ped = get_pedigree(pd.DataFrame({"ID": ids, "S": sire, "D": dam}))
+    y = 1.5 + rng.normal(size=n)
+    df = pd.DataFrame({"ID": ids, "y": y})
+
+    def model():
+        m = build_model("y = intercept + ID")
+        set_random(m, "ID", ped, np.array(1.0))
+        return m
+
+    dense = solve(model(), df, solver="CG", maxiter=500, tolerance=1e-12,
+                  sparse_location=False)
+    sparse = solve(model(), df, solver="CG", maxiter=500, tolerance=1e-12,
+                   sparse_location=True)
+    np.testing.assert_allclose(dense["Estimate"].to_numpy(),
+                               sparse["Estimate"].to_numpy(),
+                               rtol=1e-4, atol=1e-5)
